@@ -1,0 +1,151 @@
+"""Public API — exact signature parity with the reference facade.
+
+Reference surface (pysubstringsearch/__init__.py:6-73 and
+pysubstringsearch.pyi:4-44):
+
+    Writer(index_file_path, max_chunk_len=None)
+        .add_entry(text) / .add_entries_from_file_lines(path)
+        .dump_data() / .finalize()
+    Reader(index_file_path)
+        .search(substring) -> list[str]
+        .search_multiple(substrings) -> list[str]
+
+Behavioral parity notes (each mirrors a cited reference behavior):
+
+- ``add_entry`` raises ``ValueError('entry is too big')`` when a single entry
+  exceeds the chunk capacity (src/lib.rs:92-94) and flushes the current chunk
+  before an entry that would overflow it (src/lib.rs:96-98).
+- ``add_entries_from_file_lines`` operates on raw bytes with the terminator
+  stripped (``\\n``, and a preceding ``\\r``), has no too-big guard, and lets
+  an oversized line form its own oversized chunk (src/lib.rs:67-86).
+- ``Reader`` raises ``FileNotFoundError`` for a missing index
+  (src/lib.rs:166 via PyO3) and parses chunks greedily until EOF.
+- ``search`` returns each matching line once per chunk it matches in (dedup
+  is by line-start offset within a chunk, src/lib.rs:274);
+  ``search_multiple`` concatenates per-pattern results *with* duplicates
+  across patterns (pysubstringsearch/__init__.py:61-73) — but runs all
+  patterns as ONE batched device probe instead of a Python loop.
+"""
+
+from __future__ import annotations
+
+import typing
+
+import numpy as np
+
+from . import container
+from .models.index import DeviceIndex
+from .ops import search as search_ops
+from .ops.extract import LineTable
+from .ops.suffix_array import build_suffix_array
+
+
+class Writer:
+    def __init__(
+        self,
+        index_file_path: str,
+        max_chunk_len: typing.Optional[int] = None,
+        *,
+        sa_backend: str = 'auto',
+    ) -> None:
+        self._file: typing.Optional[typing.BinaryIO] = open(index_file_path, 'wb')
+        self._buffer = container.ChunkBuffer(max_chunk_len)
+        self._sa_backend = sa_backend
+
+    def add_entries_from_file_lines(self, input_file_path: str) -> None:
+        with open(input_file_path, 'rb') as input_file:
+            for raw in input_file:
+                line = raw
+                if line.endswith(b'\n'):
+                    line = line[:-1]
+                    if line.endswith(b'\r'):
+                        line = line[:-1]
+                if self._buffer.would_overflow(len(line)):
+                    self.dump_data()
+                self._buffer.append(line)
+
+    def add_entry(self, text: str) -> None:
+        data = text.encode('utf-8')
+        if len(data) > self._buffer.capacity:
+            raise ValueError('entry is too big')
+        if self._buffer.would_overflow(len(data)):
+            self.dump_data()
+        self._buffer.append(data)
+
+    def dump_data(self) -> None:
+        if len(self._buffer) == 0:
+            return
+        data = self._buffer.take()
+        suffix_array = build_suffix_array(data, backend=self._sa_backend)
+        assert self._file is not None, 'Writer is closed'
+        container.write_chunk(self._file, data, suffix_array)
+
+    def finalize(self) -> None:
+        if self._file is None:
+            return
+        if len(self._buffer) > 0:
+            self.dump_data()
+        self._file.flush()
+
+    def close(self) -> None:
+        """Finalize and release the file handle (not part of the reference
+        API — its Writer flushes on Drop, src/lib.rs:138-144 — but Python
+        callers deserve a deterministic close)."""
+        if self._file is not None:
+            self.finalize()
+            self._file.close()
+            self._file = None
+
+    def __enter__(self) -> 'Writer':
+        return self
+
+    def __exit__(self, *exc: typing.Any) -> None:
+        self.close()
+
+    def __del__(self) -> None:
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class Reader:
+    def __init__(self, index_file_path: str) -> None:
+        self._chunks = container.read_chunks(index_file_path)
+        self._tables = [LineTable(c.data) for c in self._chunks]
+        self._device_index: typing.Optional[DeviceIndex] = None
+
+    @property
+    def _index(self) -> DeviceIndex:
+        if self._device_index is None:
+            self._device_index = DeviceIndex(self._chunks)
+        return self._device_index
+
+    def _search_batch(self, patterns: typing.List[bytes]) -> typing.List[typing.List[str]]:
+        """Per-pattern result lists, each in chunk-major order."""
+        if not patterns or not self._chunks:
+            return [[] for _ in patterns]
+        packed, lengths = search_ops.pack_patterns(patterns)
+        lo, cnt = self._index.probe(packed, lengths)
+        out: typing.List[typing.List[str]] = []
+        for b in range(len(patterns)):
+            results: typing.List[str] = []
+            for c, chunk in enumerate(self._chunks):
+                count = int(cnt[c, b])
+                if count <= 0:
+                    continue
+                start = int(lo[c, b])
+                positions = chunk.suffix_array[start : start + count]
+                results.extend(self._tables[c].extract_unique_lines(positions))
+            out.append(results)
+        return out
+
+    def search(self, substring: str) -> typing.List[str]:
+        return self._search_batch([substring.encode('utf-8')])[0]
+
+    def search_multiple(self, substrings: typing.List[str]) -> typing.List[str]:
+        per_pattern = self._search_batch([s.encode('utf-8') for s in substrings])
+        results: typing.List[str] = []
+        for r in per_pattern:
+            results.extend(r)
+        return results

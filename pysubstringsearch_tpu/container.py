@@ -1,0 +1,141 @@
+"""On-disk index container — byte-compatible with the reference format.
+
+The reference (Intsights/PySubstringSearch) serializes each flushed chunk as
+
+    u32 LE  len(text)          | text bytes (entries joined by b"\\n", trailing b"\\n")
+    u32 LE  4 * len(sa)        | suffix array as int32 LE values
+
+appended back to back until EOF (reference: src/lib.rs:105-124 for the writer,
+src/lib.rs:161-199 for the reader loop).  A file produced by this module is
+readable by the reference Reader and vice versa.
+
+This is pure host-side IO (numpy); no device code lives here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import os
+import struct
+import typing
+
+import numpy as np
+
+_U32 = struct.Struct('<I')
+
+#: Default chunk capacity, identical to the reference (src/lib.rs:57).
+DEFAULT_MAX_CHUNK_LEN = 512 * 1024 * 1024
+
+
+@dataclasses.dataclass
+class Chunk:
+    """One self-contained (text, suffix array) record of the container."""
+
+    #: Concatenated entry bytes, each entry terminated by b"\n".
+    data: np.ndarray  # uint8 [n]
+    #: Suffix array over ``data``: int32 [n], sorted byte-wise with the
+    #: shorter-suffix-first (prefix-is-less) convention.
+    suffix_array: np.ndarray  # int32 [n]
+
+    def __post_init__(self) -> None:
+        assert self.data.dtype == np.uint8
+        assert self.suffix_array.dtype == np.int32
+        assert self.data.shape == self.suffix_array.shape
+
+
+def write_chunk(
+    fobj: typing.BinaryIO,
+    data: np.ndarray,
+    suffix_array: np.ndarray,
+) -> None:
+    """Append one framed (text, SA) record (reference: src/lib.rs:105-124)."""
+    if data.size == 0:
+        return
+    if data.size > 0xFFFFFFFF or suffix_array.size * 4 > 0xFFFFFFFF:
+        raise ValueError('chunk too large for u32 container framing')
+    fobj.write(_U32.pack(data.size))
+    fobj.write(data.tobytes())
+    fobj.write(_U32.pack(suffix_array.size * 4))
+    fobj.write(suffix_array.astype('<i4', copy=False).tobytes())
+
+
+def read_chunks(index_file_path: str) -> typing.List[Chunk]:
+    """Parse the whole container greedily until EOF (src/lib.rs:174-196).
+
+    Unlike the reference — which leaves the SA on disk and seeks per probe —
+    we load both text and SA: the TPU design keeps both resident in device
+    memory, so there is nothing to gain from lazy SA reads on the host side.
+
+    Raises ``FileNotFoundError`` for a missing path (parity with the Rust
+    ``File::open`` error surfaced through PyO3) and ``ValueError`` for a
+    truncated / malformed container (the reference panics; we return a typed
+    error per SURVEY.md §5.3).
+    """
+    chunks: typing.List[Chunk] = []
+    file_len = os.path.getsize(index_file_path)
+    with open(index_file_path, 'rb') as fobj:
+        bytes_read = 0
+        while bytes_read < file_len:
+            header = fobj.read(4)
+            if len(header) != 4:
+                raise ValueError('truncated index container: bad text header')
+            (data_len,) = _U32.unpack(header)
+            data = fobj.read(data_len)
+            if len(data) != data_len:
+                raise ValueError('truncated index container: short text chunk')
+            header = fobj.read(4)
+            if len(header) != 4:
+                raise ValueError('truncated index container: bad SA header')
+            (sa_bytes,) = _U32.unpack(header)
+            if sa_bytes % 4 != 0:
+                raise ValueError('malformed index container: SA length not a multiple of 4')
+            sa_raw = fobj.read(sa_bytes)
+            if len(sa_raw) != sa_bytes:
+                raise ValueError('truncated index container: short suffix array')
+            chunks.append(
+                Chunk(
+                    data=np.frombuffer(data, dtype=np.uint8),
+                    suffix_array=np.frombuffer(sa_raw, dtype='<i4').astype(
+                        np.int32, copy=False
+                    ),
+                )
+            )
+            bytes_read += 8 + data_len + sa_bytes
+    return chunks
+
+
+class ChunkBuffer:
+    """Entry-accumulation buffer with the reference Writer's flush policy.
+
+    Mirrors the observable behavior of the Rust Writer's ``Vec<u8>`` buffer
+    (src/lib.rs:88-103): an entry that would overflow ``max_chunk_len``
+    triggers a flush first; a single line longer than the capacity (only
+    possible through the file-lines path, src/lib.rs:67-86) still becomes its
+    own oversized chunk.
+    """
+
+    def __init__(self, max_chunk_len: typing.Optional[int] = None) -> None:
+        self.capacity = (
+            DEFAULT_MAX_CHUNK_LEN if max_chunk_len is None else max_chunk_len
+        )
+        self._parts: typing.List[bytes] = []
+        self._size = 0
+
+    def __len__(self) -> int:
+        return self._size
+
+    def would_overflow(self, entry_len: int) -> bool:
+        return self._size + entry_len + 1 > self.capacity
+
+    def append(self, entry: bytes) -> None:
+        self._parts.append(entry)
+        self._parts.append(b'\n')
+        self._size += len(entry) + 1
+
+    def take(self) -> np.ndarray:
+        """Return the buffered bytes as uint8 and reset the buffer."""
+        joined = b''.join(self._parts)
+        self._parts = []
+        self._size = 0
+        return np.frombuffer(joined, dtype=np.uint8)

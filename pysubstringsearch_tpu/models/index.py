@@ -1,0 +1,69 @@
+"""The flagship "model" of this framework: a device-resident substring index.
+
+Where the reference keeps chunk text in host RAM and leaves suffix arrays on
+disk behind per-probe file seeks (reference: src/lib.rs:146-199), the TPU
+design inverts the memory model: both text and SA for every chunk are
+resident in device HBM as stacked, padded, statically-shaped arrays —
+
+    text [C, N_pad] uint8      sa [C, N_pad] int32      n [C] int32
+
+so a batch of queries is answered by a single jitted program: a vmapped
+lower/upper-bound probe over the chunk axis (the analog of the reference's
+rayon fan-out over sub-indexes, src/lib.rs:207).  The chunk axis ``C`` is
+also the sharding axis for multi-chip / multi-host meshes (see
+pysubstringsearch_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..container import Chunk
+from ..ops import search as search_ops
+from ..ops.suffix_array import _pad_len
+
+
+class DeviceIndex:
+    """Stacked padded chunks on one device (or replicated; sharding is
+    layered on top by pysubstringsearch_tpu.parallel)."""
+
+    def __init__(self, chunks: typing.Sequence[Chunk]) -> None:
+        self.num_chunks = len(chunks)
+        if self.num_chunks == 0:
+            self.n_pad = 8
+            self.text = jnp.zeros((0, 8), jnp.uint8)
+            self.sa = jnp.zeros((0, 8), jnp.int32)
+            self.lengths = jnp.zeros((0,), jnp.int32)
+            return
+        n_pad = _pad_len(max(c.data.size for c in chunks))
+        text = np.zeros((self.num_chunks, n_pad), dtype=np.uint8)
+        sa = np.zeros((self.num_chunks, n_pad), dtype=np.int32)
+        n = np.zeros((self.num_chunks,), dtype=np.int32)
+        for i, c in enumerate(chunks):
+            text[i, : c.data.size] = c.data
+            sa[i, : c.suffix_array.size] = c.suffix_array
+            n[i] = c.data.size
+        self.n_pad = n_pad
+        self.text = jnp.asarray(text)
+        self.sa = jnp.asarray(sa)
+        self.lengths = jnp.asarray(n)
+
+    def probe(
+        self,
+        patterns: np.ndarray,  # uint8 [B, L]
+        lengths: np.ndarray,  # int32 [B]
+    ) -> typing.Tuple[np.ndarray, np.ndarray]:
+        """(lower, count) int32 [C, B]: SA range of matches per (chunk, query)."""
+        B = patterns.shape[0]
+        if self.num_chunks == 0 or B == 0:
+            zeros = np.zeros((self.num_chunks, B), dtype=np.int32)
+            return zeros, zeros.copy()
+        lo, cnt = search_ops.probe_bounds_batch_jit(
+            self.text, self.lengths, self.sa,
+            jnp.asarray(patterns), jnp.asarray(lengths),
+        )
+        return np.asarray(lo), np.asarray(cnt)

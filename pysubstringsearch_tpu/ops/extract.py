@@ -1,0 +1,71 @@
+"""Host-side line materialization: hit positions -> deduplicated line strings.
+
+The reference walks each matching suffix position with forward/backward
+``memmem`` newline scans and dedups by line-start offset (reference:
+src/lib.rs:262-278).  Here newline positions are precomputed once per chunk
+(one vectorized scan at load), so each hit resolves to its line id with a
+single ``searchsorted`` — O(hits log lines) with no per-hit byte scanning —
+and dedup is ``np.unique`` over line ids.
+
+Quirk preserved for byte parity: if a chunk's text does not end with a
+newline (impossible via the Writer, possible via a foreign container), the
+reference truncates the final line's last byte (``None => data.len() - 1``,
+src/lib.rs:268-270).  We emulate it by placing the virtual terminator at
+``n - 1``.
+"""
+
+from __future__ import annotations
+
+import typing
+
+import numpy as np
+
+__all__ = ['LineTable']
+
+
+class LineTable:
+    """Per-chunk newline index enabling O(log L) position -> line lookup."""
+
+    def __init__(self, data: np.ndarray) -> None:
+        assert data.dtype == np.uint8
+        self.data = data
+        self._data_bytes = data.tobytes()
+        nl = np.flatnonzero(data == 0x0A).astype(np.int64)
+        if data.size and (nl.size == 0 or nl[-1] != data.size - 1):
+            # Foreign container without trailing terminator: reference quirk.
+            nl = np.append(nl, data.size - 1)
+        self.nl = nl
+
+    @property
+    def num_lines(self) -> int:
+        return int(self.nl.size)
+
+    def line_ids(self, positions: np.ndarray) -> np.ndarray:
+        """Line id for each text position (the line whose span contains it).
+
+        A position sitting exactly on a ``\\n`` byte belongs to the line that
+        terminator ends — matching the reference's forward-scan-from-self
+        (src/lib.rs:265-267).
+        """
+        return np.searchsorted(self.nl, positions, side='left')
+
+    def line_span(self, line_id: int) -> typing.Tuple[int, int]:
+        start = int(self.nl[line_id - 1]) + 1 if line_id > 0 else 0
+        return start, int(self.nl[line_id])
+
+    def line_bytes(self, line_id: int) -> bytes:
+        start, end = self.line_span(line_id)
+        return self._data_bytes[start:end]
+
+    def line_str(self, line_id: int) -> str:
+        # The reference returns the raw bytes reinterpreted as str without
+        # validation (from_utf8_unchecked, src/lib.rs:275); surrogateescape is
+        # the faithful Python analogue — lossless and identical for UTF-8.
+        return self.line_bytes(line_id).decode('utf-8', errors='surrogateescape')
+
+    def extract_unique_lines(self, positions: np.ndarray) -> typing.List[str]:
+        """Lines containing the given hit positions, deduped by line start."""
+        if positions.size == 0:
+            return []
+        ids = np.unique(self.line_ids(positions))
+        return [self.line_str(int(i)) for i in ids]

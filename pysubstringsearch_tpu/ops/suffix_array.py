@@ -1,0 +1,203 @@
+"""Suffix-array construction.
+
+The reference builds suffix arrays with libsais' SA-IS induced sorting
+(reference: src/libsais/libsais.c:6597, called from src/lib.rs:24-40) — a
+linear-time but inherently *sequential* algorithm: its hot loops are
+data-dependent scatters (``SA[bucket[c]++] = ...``) that cannot map onto a
+TPU's vector units.
+
+This module re-casts SA construction as **prefix doubling** (Manber–Myers):
+O(n log n) fully-vectorizable work — each round is one key sort plus
+elementwise rank relabeling, which XLA compiles to large fused device ops.
+The SA of a string is unique, so any correct construction yields bytes
+identical to libsais' output; conformance is exact.
+
+Three backends, one contract (``uint8[n] -> int32[n]``):
+
+- ``suffix_array_numpy`` — host reference implementation (np.lexsort rounds).
+- ``suffix_array_jax``   — device implementation: padded, jit-compiled,
+  ``lax.sort`` rounds inside a ``lax.while_loop`` with early exit.
+- the native C++ SA-IS in :mod:`pysubstringsearch_tpu.ops.native` (built
+  separately) for fast host-side builds without a TPU.
+
+Comparison convention (must match the reference's byte-compare at
+src/lib.rs:224-228): plain bytewise order where a proper prefix sorts before
+any extension.  We realize it by ranking real bytes as ``b + 1`` and
+past-the-end as ``0``.
+"""
+
+from __future__ import annotations
+
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = [
+    'build_suffix_array',
+    'suffix_array_numpy',
+    'suffix_array_jax',
+]
+
+
+# ---------------------------------------------------------------------------
+# Host reference implementation
+# ---------------------------------------------------------------------------
+
+def suffix_array_numpy(data: np.ndarray) -> np.ndarray:
+    """Prefix-doubling SA on the host; ground truth for the device kernels."""
+    data = np.asarray(data, dtype=np.uint8)
+    n = data.size
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    rank = data.astype(np.int64)
+    order = np.argsort(rank, kind='stable').astype(np.int64)
+    k = 1
+    while True:
+        rank2 = np.full(n, -1, dtype=np.int64)
+        if k < n:
+            rank2[: n - k] = rank[k:]
+        order = np.lexsort((rank2, rank))
+        r1 = rank[order]
+        r2 = rank2[order]
+        flags = np.empty(n, dtype=np.int64)
+        flags[0] = 0
+        flags[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+        new_rank_sorted = np.cumsum(flags)
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = new_rank_sorted
+        if new_rank_sorted[-1] == n - 1 or k >= n:
+            break
+        k *= 2
+    return order.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Device implementation (JAX; runs on TPU, CPU, or any XLA backend)
+# ---------------------------------------------------------------------------
+
+def _doubling_kernel(data_padded: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """SA of ``data_padded[:n]`` returned as the tail of a length-N_pad array.
+
+    The text is padded to a static length ``N`` with a rank-0 sentinel that is
+    strictly smaller than any real byte's rank (``b + 1``).  The SA of the
+    padded string is then ``[N-1, N-2, ..., n] ++ SA(text)`` — padding
+    suffixes are the runs ``0^j``, ordered shortest-first, all before any real
+    suffix — so the caller just slices off the first ``N - n`` entries.
+    """
+    N = data_padded.shape[0]
+    iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
+    d = jnp.where(iota < n, data_padded.astype(jnp.int32) + 1, 0)
+
+    # Initial ordering by 3-byte prefix: one sort round covers k in {1, 2, 3}.
+    d1 = jnp.where(iota + 1 < n, jnp.roll(d, -1), 0)
+    d2 = jnp.where(iota + 2 < n, jnp.roll(d, -2), 0)
+    key = (d * 257 + d1) * 257 + d2  # < 257**3, comfortably int32
+    key_s, idx_s = lax.sort((key, iota), num_keys=1, is_stable=False)
+    flags = jnp.where(iota == 0, 0, (key_s != jnp.roll(key_s, 1)).astype(jnp.int32))
+    rank_s = jnp.cumsum(flags, dtype=jnp.int32)
+    rank = jnp.zeros((N,), jnp.int32).at[idx_s].set(rank_s)
+    num_ranks = rank_s[-1] + 1
+
+    def cond(state):
+        k, _, _, num_ranks = state
+        return jnp.logical_and(k < N, num_ranks < N)
+
+    def body(state):
+        k, rank, _, _ = state
+        rank2 = jnp.where(iota + k < N, jnp.roll(rank, -k), -1)
+        r1_s, r2_s, idx_s = lax.sort(
+            (rank, rank2, iota), num_keys=2, is_stable=False
+        )
+        changed = jnp.logical_or(
+            r1_s != jnp.roll(r1_s, 1), r2_s != jnp.roll(r2_s, 1)
+        )
+        flags = jnp.where(iota == 0, 0, changed.astype(jnp.int32))
+        rank_s = jnp.cumsum(flags, dtype=jnp.int32)
+        new_rank = jnp.zeros((N,), jnp.int32).at[idx_s].set(rank_s)
+        return k * 2, new_rank, idx_s, rank_s[-1] + 1
+
+    _, _, sa_full, _ = lax.while_loop(
+        cond, body, (jnp.int32(3), rank, idx_s, num_ranks)
+    )
+    return sa_full
+
+
+_doubling_jit = jax.jit(_doubling_kernel, donate_argnums=(0,))
+
+
+def _pad_len(n: int) -> int:
+    """Next power of two (min 8) — bounds the number of distinct jit traces."""
+    p = 8
+    while p < n:
+        p *= 2
+    return p
+
+
+def suffix_array_jax(
+    data: np.ndarray,
+    *,
+    device: typing.Optional[jax.Device] = None,
+) -> np.ndarray:
+    """Build the SA on an XLA device and return it as host int32[n]."""
+    data = np.asarray(data, dtype=np.uint8)
+    n = data.size
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    N = _pad_len(n)
+    padded = np.zeros(N, dtype=np.uint8)
+    padded[:n] = data
+    x = jnp.asarray(padded) if device is None else jax.device_put(padded, device)
+    sa_full = _doubling_jit(x, jnp.int32(n))
+    return np.asarray(sa_full[N - n:])
+
+
+def suffix_array_device(data_padded: jnp.ndarray, n) -> jnp.ndarray:
+    """Device-to-device variant for fused build pipelines (no host round trip).
+
+    Returns the full padded-SA; real entries are ``out[N - n:]``.
+    """
+    return _doubling_kernel(data_padded, jnp.asarray(n, jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+_JAX_MIN_N = 1 << 16  # below this, host numpy beats device dispatch overhead
+
+
+def build_suffix_array(
+    data: np.ndarray,
+    backend: str = 'auto',
+) -> np.ndarray:
+    """Build the suffix array of ``data`` (uint8) with the chosen backend.
+
+    ``auto`` prefers the native C++ SA-IS for small/host work and the XLA
+    device path for large chunks when an accelerator is present.
+    """
+    data = np.asarray(data, dtype=np.uint8)
+    if backend == 'numpy':
+        return suffix_array_numpy(data)
+    if backend == 'jax':
+        return suffix_array_jax(data)
+    if backend == 'native':
+        from . import native
+
+        return native.suffix_array_native(data)
+    if backend != 'auto':
+        raise ValueError(f'unknown suffix-array backend: {backend!r}')
+
+    from . import native
+
+    if native.available() and (
+        data.size < _JAX_MIN_N or jax.default_backend() == 'cpu'
+    ):
+        return native.suffix_array_native(data)
+    if data.size >= _JAX_MIN_N and jax.default_backend() != 'cpu':
+        return suffix_array_jax(data)
+    if native.available():
+        return native.suffix_array_native(data)
+    return suffix_array_numpy(data)

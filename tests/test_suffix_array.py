@@ -1,0 +1,78 @@
+"""Suffix-array backend agreement: numpy doubling vs JAX device doubling vs
+native C++ SA-IS vs a brute-force oracle. The SA of a string is unique, so
+all backends must agree byte-for-byte."""
+
+import numpy as np
+import pytest
+
+from pysubstringsearch_tpu.ops import native
+from pysubstringsearch_tpu.ops.suffix_array import (
+    suffix_array_jax,
+    suffix_array_numpy,
+)
+
+
+def brute_force_sa(data: bytes) -> np.ndarray:
+    # Python bytes compare is bytewise with prefix-first — the exact
+    # convention of the reference's binary search (src/lib.rs:224-228).
+    order = sorted(range(len(data)), key=lambda i: data[i:])
+    return np.array(order, dtype=np.int32)
+
+
+CASES = [
+    b'',
+    b'a',
+    b'aa',
+    b'ab',
+    b'ba',
+    b'banana',
+    b'mississippi',
+    b'aaaaaaaaaa',
+    b'abcabcabcabc',
+    b'one\ntwo\nthree\n',
+    bytes(range(256)),
+    b'\x00\x00\x01\x00\x00',
+    b'zzzyyyxxxzzzyyyxxx',
+]
+
+
+@pytest.mark.parametrize('data', CASES, ids=range(len(CASES)))
+def test_numpy_matches_brute_force(data):
+    arr = np.frombuffer(data, dtype=np.uint8)
+    np.testing.assert_array_equal(suffix_array_numpy(arr), brute_force_sa(data))
+
+
+@pytest.mark.parametrize('data', CASES, ids=range(len(CASES)))
+def test_jax_matches_brute_force(data):
+    arr = np.frombuffer(data, dtype=np.uint8)
+    np.testing.assert_array_equal(suffix_array_jax(arr), brute_force_sa(data))
+
+
+@pytest.mark.parametrize('data', CASES, ids=range(len(CASES)))
+def test_native_matches_brute_force(data):
+    if not native.available():
+        pytest.skip('native SA-IS library not built')
+    arr = np.frombuffer(data, dtype=np.uint8)
+    np.testing.assert_array_equal(
+        native.suffix_array_native(arr), brute_force_sa(data)
+    )
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2])
+@pytest.mark.parametrize('alphabet', [2, 4, 256])
+def test_backends_agree_on_random_data(seed, alphabet):
+    rng = np.random.default_rng(seed)
+    data = rng.integers(0, alphabet, size=4097, dtype=np.uint8)
+    ref = suffix_array_numpy(data)
+    np.testing.assert_array_equal(suffix_array_jax(data), ref)
+    if native.available():
+        np.testing.assert_array_equal(native.suffix_array_native(data), ref)
+
+
+def test_repetitive_data_deep_recursion():
+    # Highly repetitive input stresses SA-IS recursion and doubling rounds.
+    data = np.frombuffer(b'abab' * 1000 + b'a', dtype=np.uint8)
+    ref = suffix_array_numpy(data)
+    np.testing.assert_array_equal(suffix_array_jax(data), ref)
+    if native.available():
+        np.testing.assert_array_equal(native.suffix_array_native(data), ref)
