@@ -80,7 +80,9 @@ def _cmp3(text, n, sa, slots, patterns_p1, lengths):
 def _first_slot_geq(text, n, sa, patterns_p1, lengths, thresholds):
     """First SA slot where cmp3 >= threshold, per query (branchless bisect)."""
     B = patterns_p1.shape[0]
-    lo = jnp.zeros((B,), jnp.int32)
+    # Derive both carries from n so their varying-ness over any shard_map
+    # mesh axis matches the loop body's outputs (scan carries must agree).
+    lo = jnp.zeros((B,), jnp.int32) + n * 0
     hi = jnp.full((B,), 1, jnp.int32) * n  # [B] — search over [0, n)
     steps = max(1, int(np.ceil(np.log2(max(2, int(text.shape[0])))))) + 1
 

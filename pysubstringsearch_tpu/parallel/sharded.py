@@ -1,0 +1,106 @@
+"""Sharded index build and search over a device mesh (shard_map + pjit).
+
+Chunk-data-parallel SPMD programs:
+
+- ``sharded_build_step``: every device builds the suffix arrays of its local
+  corpus chunks (the vectorized prefix-doubling sort) — the analog of the
+  reference's per-chunk libsais calls, but running on all chips at once.
+- ``sharded_probe``: every device answers the (replicated) query batch
+  against its local chunks; per-chunk hit ranges are all-gathered over ICI so
+  every host sees the full [C, B, 2] result tensor — the analog of the
+  reference's mutex-merged result vector (src/lib.rs:205-280), as a
+  collective instead of a lock.
+
+All functions take the stacked chunk-major layout of models/index.py:
+``text [C, N_pad] uint8, n [C] int32, sa [C, N_pad] int32``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.search import probe_bounds
+from ..ops.suffix_array import _doubling_kernel
+from .mesh import CHUNK_AXIS
+
+
+def _build_one(text_row: jnp.ndarray, n_row: jnp.ndarray) -> jnp.ndarray:
+    """Head-aligned SA of one padded chunk (real entries in [0, n))."""
+    sa_full = _doubling_kernel(text_row, n_row)
+    # _doubling_kernel yields real entries at the tail; rotate to the head.
+    return jnp.roll(sa_full, n_row - text_row.shape[0])
+
+
+build_chunks = jax.vmap(_build_one)  # [C, N_pad], [C] -> [C, N_pad]
+_probe_chunks = jax.vmap(probe_bounds, in_axes=(0, 0, 0, None, None))
+
+
+def make_sharded_build(mesh):
+    """jitted [C, N_pad] build step, C sharded over the mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    fn = jax.shard_map(
+        build_chunks,
+        mesh=mesh,
+        in_specs=(P(CHUNK_AXIS), P(CHUNK_AXIS)),
+        out_specs=P(CHUNK_AXIS),
+    )
+    return jax.jit(fn)
+
+
+def make_sharded_probe(mesh, gather: bool = True):
+    """jitted sharded probe: (text, n, sa, patterns, lengths) -> [C, B, 2].
+
+    With ``gather=True`` the per-device partial results are all-gathered over
+    the mesh (ICI collective), so the output is replicated on every device.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def local(text, n, sa, patterns, lengths):
+        lo, cnt = _probe_chunks(text, n, sa, patterns, lengths)
+        out = jnp.stack([lo, cnt], axis=-1)  # [C_local, B, 2]
+        if gather:
+            out = jax.lax.all_gather(out, CHUNK_AXIS, axis=0, tiled=True)
+        return out
+
+    # check_vma=False for the gathered case: the all_gather output is
+    # replicated in value, but the varying-axis type system cannot express
+    # varying -> invarying, so replication is asserted rather than inferred.
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(CHUNK_AXIS), P(CHUNK_AXIS), P(CHUNK_AXIS), P(), P()),
+        out_specs=P() if gather else P(CHUNK_AXIS),
+        check_vma=not gather,
+    )
+    return jax.jit(fn)
+
+
+def make_full_step(mesh):
+    """The framework's "training step": build SAs for all sharded chunks and
+    immediately answer a query batch, with hit counts psum-reduced across the
+    mesh — exercises compute + collectives in one compiled program.  Used by
+    the multi-chip dry-run and as the end-to-end unit of the build+search
+    pipeline."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(text, n, patterns, lengths):
+        sa = build_chunks(text, n)
+        lo, cnt = _probe_chunks(text, n, sa, patterns, lengths)
+        bounds = jax.lax.all_gather(
+            jnp.stack([lo, cnt], axis=-1), CHUNK_AXIS, axis=0, tiled=True
+        )
+        total_hits = jax.lax.psum(jnp.sum(cnt, axis=0), CHUNK_AXIS)  # [B]
+        return bounds, total_hits
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(CHUNK_AXIS), P(CHUNK_AXIS), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # outputs replicated by all_gather/psum (see above)
+    )
+    return jax.jit(fn)
