@@ -29,7 +29,10 @@ Behavioral parity notes (each mirrors a cited reference behavior):
 
 from __future__ import annotations
 
+import collections
+import os
 import typing
+from concurrent.futures import Future, ThreadPoolExecutor
 
 import numpy as np
 
@@ -41,16 +44,37 @@ from .ops.suffix_array import build_suffix_array
 
 
 class Writer:
+    """Index writer with reference semantics plus a pipelined build stage.
+
+    ``build_workers > 0`` overlaps suffix-array construction of flushed
+    chunks with further ingestion: each ``dump_data`` submits the chunk to a
+    thread pool (the native SA-IS kernel releases the GIL, so host builds
+    run truly in parallel across chunks — the parallelism the reference
+    compiled OUT of libsais by not passing -fopenmp, build.rs:1-11) and
+    completed chunks are appended to the file in submission order.  The
+    resulting container bytes are identical to a synchronous build.
+    """
+
     def __init__(
         self,
         index_file_path: str,
         max_chunk_len: typing.Optional[int] = None,
         *,
         sa_backend: str = 'auto',
+        build_workers: typing.Optional[int] = None,
     ) -> None:
         self._file: typing.Optional[typing.BinaryIO] = open(index_file_path, 'wb')
         self._buffer = container.ChunkBuffer(max_chunk_len)
         self._sa_backend = sa_backend
+        if build_workers is None:
+            build_workers = min(8, os.cpu_count() or 1)
+        self._build_workers = build_workers
+        self._executor: typing.Optional[ThreadPoolExecutor] = None
+        # (data, future) pairs in submission order; file writes drain the
+        # head so the on-disk chunk order always matches flush order.
+        self._pending: typing.Deque[
+            typing.Tuple[np.ndarray, 'Future[np.ndarray]']
+        ] = collections.deque()
 
     def add_entries_from_file_lines(self, input_file_path: str) -> None:
         with open(input_file_path, 'rb') as input_file:
@@ -72,19 +96,45 @@ class Writer:
             self.dump_data()
         self._buffer.append(data)
 
+    def _drain(self, block: bool) -> None:
+        """Write completed head-of-queue chunks; with ``block``, all of them."""
+        assert self._file is not None
+        while self._pending:
+            head_data, head_future = self._pending[0]
+            if not block and not head_future.done():
+                # Backpressure: never hold more than 2x workers of chunks.
+                if len(self._pending) <= 2 * max(1, self._build_workers):
+                    return
+            suffix_array = head_future.result()
+            container.write_chunk(self._file, head_data, suffix_array)
+            self._pending.popleft()
+
     def dump_data(self) -> None:
         if len(self._buffer) == 0:
             return
-        data = self._buffer.take()
-        suffix_array = build_suffix_array(data, backend=self._sa_backend)
         assert self._file is not None, 'Writer is closed'
-        container.write_chunk(self._file, data, suffix_array)
+        data = self._buffer.take()
+        if self._build_workers <= 0:
+            suffix_array = build_suffix_array(data, backend=self._sa_backend)
+            container.write_chunk(self._file, data, suffix_array)
+            return
+        if self._executor is None:
+            self._executor = ThreadPoolExecutor(
+                max_workers=self._build_workers,
+                thread_name_prefix='tpuss-sa-build',
+            )
+        future = self._executor.submit(
+            build_suffix_array, data, backend=self._sa_backend
+        )
+        self._pending.append((data, future))
+        self._drain(block=False)
 
     def finalize(self) -> None:
         if self._file is None:
             return
         if len(self._buffer) > 0:
             self.dump_data()
+        self._drain(block=True)
         self._file.flush()
 
     def close(self) -> None:
@@ -95,6 +145,9 @@ class Writer:
             self.finalize()
             self._file.close()
             self._file = None
+        if self._executor is not None:
+            self._executor.shutdown(wait=True)
+            self._executor = None
 
     def __enter__(self) -> 'Writer':
         return self
@@ -125,8 +178,21 @@ class Reader:
         """Per-pattern result lists, each in chunk-major order."""
         if not patterns or not self._chunks:
             return [[] for _ in patterns]
-        packed, lengths = search_ops.pack_patterns(patterns)
-        lo, cnt = self._index.probe(packed, lengths)
+        if max(len(p) for p in patterns) > search_ops.PAD_MARGIN:
+            # Patterns beyond the device window margin: exact host bisection
+            # (rare; the device path contract is L <= PAD_MARGIN).
+            C, B = len(self._chunks), len(patterns)
+            lo = np.zeros((C, B), dtype=np.int64)
+            cnt = np.zeros((C, B), dtype=np.int64)
+            for c, chunk in enumerate(self._chunks):
+                data = chunk.data.tobytes()
+                for b, pat in enumerate(patterns):
+                    lo[c, b], cnt[c, b] = search_ops.host_probe_bounds(
+                        data, chunk.suffix_array, pat
+                    )
+        else:
+            packed, lengths = search_ops.pack_patterns(patterns)
+            lo, cnt = self._index.probe(packed, lengths)
         out: typing.List[typing.List[str]] = []
         for b in range(len(patterns)):
             results: typing.List[str] = []

@@ -5,12 +5,13 @@ disk behind per-probe file seeks (reference: src/lib.rs:146-199), the TPU
 design inverts the memory model: both text and SA for every chunk are
 resident in device HBM as stacked, padded, statically-shaped arrays —
 
-    text [C, N_pad] uint8      sa [C, N_pad] int32      n [C] int32
+    text [C, N_pad] uint8    sa [C, N_pad] int32    n [C] int32
+    table [C, 66565] int32   (2-byte prefix bucket table, see ops/search.py)
 
 so a batch of queries is answered by a single jitted program: a vmapped
-lower/upper-bound probe over the chunk axis (the analog of the reference's
-rayon fan-out over sub-indexes, src/lib.rs:207).  The chunk axis ``C`` is
-also the sharding axis for multi-chip / multi-host meshes (see
+bucket-seeded lower/upper-bound probe over the chunk axis (the analog of the
+reference's rayon fan-out over sub-indexes, src/lib.rs:207).  The chunk axis
+``C`` is also the sharding axis for multi-chip / multi-host meshes (see
 pysubstringsearch_tpu.parallel).
 """
 
@@ -38,8 +39,13 @@ class DeviceIndex:
             self.text = jnp.zeros((0, 8), jnp.uint8)
             self.sa = jnp.zeros((0, 8), jnp.int32)
             self.lengths = jnp.zeros((0,), jnp.int32)
+            self.tables = jnp.zeros(
+                (0, search_ops.BUCKET_TABLE_SIZE), jnp.int32
+            )
             return
-        n_pad = _pad_len(max(c.data.size for c in chunks))
+        max_n = max(c.data.size for c in chunks)
+        # Margin so suffix windows up to PAD_MARGIN bytes never clamp.
+        n_pad = _pad_len(max_n + search_ops.PAD_MARGIN)
         text = np.zeros((self.num_chunks, n_pad), dtype=np.uint8)
         sa = np.zeros((self.num_chunks, n_pad), dtype=np.int32)
         n = np.zeros((self.num_chunks,), dtype=np.int32)
@@ -51,6 +57,12 @@ class DeviceIndex:
         self.text = jnp.asarray(text)
         self.sa = jnp.asarray(sa)
         self.lengths = jnp.asarray(n)
+        self.tables = search_ops.build_bucket_table_batch_jit(
+            self.text, self.lengths, self.sa
+        )
+        # Widest bucket across chunks fixes the static bisection depth.
+        widths = np.asarray(jnp.max(jnp.diff(self.tables, axis=1), axis=1))
+        self.probe_steps = search_ops.steps_for_width(int(widths.max()))
 
     def probe(
         self,
@@ -59,11 +71,16 @@ class DeviceIndex:
     ) -> typing.Tuple[np.ndarray, np.ndarray]:
         """(lower, count) int32 [C, B]: SA range of matches per (chunk, query)."""
         B = patterns.shape[0]
-        if self.num_chunks == 0 or B == 0:
+        if (
+            self.num_chunks == 0
+            or B == 0
+            or patterns.shape[1] > self.n_pad  # longer than any text: no hits
+        ):
             zeros = np.zeros((self.num_chunks, B), dtype=np.int32)
             return zeros, zeros.copy()
-        lo, cnt = search_ops.probe_bounds_batch_jit(
-            self.text, self.lengths, self.sa,
+        probe = search_ops.bucketed_batch_jit(self.probe_steps)
+        lo, cnt = probe(
+            self.text, self.lengths, self.sa, self.tables,
             jnp.asarray(patterns), jnp.asarray(lengths),
         )
         return np.asarray(lo), np.asarray(cnt)

@@ -78,6 +78,38 @@ def suffix_array_numpy(data: np.ndarray) -> np.ndarray:
 # Device implementation (JAX; runs on TPU, CPU, or any XLA backend)
 # ---------------------------------------------------------------------------
 
+def _init_round(data_padded: jnp.ndarray, n: jnp.ndarray):
+    """Initial ordering by 3-byte prefix: one sort covers k in {1, 2, 3}."""
+    N = data_padded.shape[0]
+    iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
+    d = jnp.where(iota < n, data_padded.astype(jnp.int32) + 1, 0)
+    d1 = jnp.where(iota + 1 < n, jnp.roll(d, -1), 0)
+    d2 = jnp.where(iota + 2 < n, jnp.roll(d, -2), 0)
+    key = (d * 257 + d1) * 257 + d2  # < 257**3, comfortably int32
+    key_s, idx_s = lax.sort((key, iota), num_keys=1, is_stable=False)
+    flags = jnp.where(iota == 0, 0, (key_s != jnp.roll(key_s, 1)).astype(jnp.int32))
+    rank_s = jnp.cumsum(flags, dtype=jnp.int32)
+    rank = jnp.zeros((N,), jnp.int32).at[idx_s].set(rank_s)
+    return rank, idx_s, rank_s[-1] + 1
+
+
+def _doubling_round(rank: jnp.ndarray, k: jnp.ndarray):
+    """One prefix-doubling round: sort by (rank[i], rank[i+k]), relabel."""
+    N = rank.shape[0]
+    iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
+    rank2 = jnp.where(iota + k < N, jnp.roll(rank, -k), -1)
+    r1_s, r2_s, idx_s = lax.sort((rank, rank2, iota), num_keys=2, is_stable=False)
+    changed = jnp.logical_or(r1_s != jnp.roll(r1_s, 1), r2_s != jnp.roll(r2_s, 1))
+    flags = jnp.where(iota == 0, 0, changed.astype(jnp.int32))
+    rank_s = jnp.cumsum(flags, dtype=jnp.int32)
+    new_rank = jnp.zeros((N,), jnp.int32).at[idx_s].set(rank_s)
+    return new_rank, idx_s, rank_s[-1] + 1
+
+
+_init_round_jit = jax.jit(_init_round)
+_doubling_round_jit = jax.jit(_doubling_round, donate_argnums=(0,))
+
+
 def _doubling_kernel(data_padded: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     """SA of ``data_padded[:n]`` returned as the tail of a length-N_pad array.
 
@@ -86,20 +118,16 @@ def _doubling_kernel(data_padded: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     padded string is then ``[N-1, N-2, ..., n] ++ SA(text)`` — padding
     suffixes are the runs ``0^j``, ordered shortest-first, all before any real
     suffix — so the caller just slices off the first ``N - n`` entries.
+
+    NOTE: this single-program variant (lax.while_loop) exists for shard_map
+    programs that need the whole build inside one traced computation (the
+    multi-chip dry run / sharded build).  The production path is
+    ``suffix_array_jax``, which drives the rounds from the host: on TPU a
+    while_loop re-materializes its large loop invariants every iteration,
+    so the host-driven form is dramatically faster.
     """
     N = data_padded.shape[0]
-    iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
-    d = jnp.where(iota < n, data_padded.astype(jnp.int32) + 1, 0)
-
-    # Initial ordering by 3-byte prefix: one sort round covers k in {1, 2, 3}.
-    d1 = jnp.where(iota + 1 < n, jnp.roll(d, -1), 0)
-    d2 = jnp.where(iota + 2 < n, jnp.roll(d, -2), 0)
-    key = (d * 257 + d1) * 257 + d2  # < 257**3, comfortably int32
-    key_s, idx_s = lax.sort((key, iota), num_keys=1, is_stable=False)
-    flags = jnp.where(iota == 0, 0, (key_s != jnp.roll(key_s, 1)).astype(jnp.int32))
-    rank_s = jnp.cumsum(flags, dtype=jnp.int32)
-    rank = jnp.zeros((N,), jnp.int32).at[idx_s].set(rank_s)
-    num_ranks = rank_s[-1] + 1
+    rank, idx_s, num_ranks = _init_round(data_padded, n)
 
     def cond(state):
         k, _, _, num_ranks = state
@@ -107,17 +135,8 @@ def _doubling_kernel(data_padded: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
 
     def body(state):
         k, rank, _, _ = state
-        rank2 = jnp.where(iota + k < N, jnp.roll(rank, -k), -1)
-        r1_s, r2_s, idx_s = lax.sort(
-            (rank, rank2, iota), num_keys=2, is_stable=False
-        )
-        changed = jnp.logical_or(
-            r1_s != jnp.roll(r1_s, 1), r2_s != jnp.roll(r2_s, 1)
-        )
-        flags = jnp.where(iota == 0, 0, changed.astype(jnp.int32))
-        rank_s = jnp.cumsum(flags, dtype=jnp.int32)
-        new_rank = jnp.zeros((N,), jnp.int32).at[idx_s].set(rank_s)
-        return k * 2, new_rank, idx_s, rank_s[-1] + 1
+        new_rank, idx_s, num_ranks = _doubling_round(rank, k)
+        return k * 2, new_rank, idx_s, num_ranks
 
     _, _, sa_full, _ = lax.while_loop(
         cond, body, (jnp.int32(3), rank, idx_s, num_ranks)
@@ -125,7 +144,6 @@ def _doubling_kernel(data_padded: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     return sa_full
 
 
-_doubling_jit = jax.jit(_doubling_kernel, donate_argnums=(0,))
 
 
 def _pad_len(n: int) -> int:
@@ -141,7 +159,15 @@ def suffix_array_jax(
     *,
     device: typing.Optional[jax.Device] = None,
 ) -> np.ndarray:
-    """Build the SA on an XLA device and return it as host int32[n]."""
+    """Build the SA on an XLA device and return it as host int32[n].
+
+    The doubling rounds are driven from the host — each round is one jitted
+    dispatch (sort + relabel) and the convergence check syncs a single scalar
+    back.  Keeping the loop on the host lets every round hit XLA's fast
+    straight-line code paths (a device-side while_loop re-materializes its
+    loop invariants every iteration on TPU) and exits the moment all ranks
+    are distinct.
+    """
     data = np.asarray(data, dtype=np.uint8)
     n = data.size
     if n == 0:
@@ -150,8 +176,12 @@ def suffix_array_jax(
     padded = np.zeros(N, dtype=np.uint8)
     padded[:n] = data
     x = jnp.asarray(padded) if device is None else jax.device_put(padded, device)
-    sa_full = _doubling_jit(x, jnp.int32(n))
-    return np.asarray(sa_full[N - n:])
+    rank, idx_s, num_ranks = _init_round_jit(x, jnp.int32(n))
+    k = 3
+    while int(num_ranks) < N and k < N:
+        rank, idx_s, num_ranks = _doubling_round_jit(rank, jnp.int32(k))
+        k *= 2
+    return np.asarray(idx_s[N - n:])
 
 
 def suffix_array_device(data_padded: jnp.ndarray, n) -> jnp.ndarray:

@@ -1,0 +1,83 @@
+"""Probe-kernel agreement tests: the bucketed fast path and the plain
+bisection must both match brute-force suffix counting on adversarial data
+(NUL bytes, high bytes, empty and over-long patterns)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pysubstringsearch_tpu.ops.search import (
+    PAD_MARGIN,
+    build_bucket_table,
+    pack_patterns,
+    probe_bounds,
+    probe_bounds_bucketed,
+)
+from pysubstringsearch_tpu.ops.suffix_array import suffix_array_numpy, _pad_len
+
+
+def brute_counts(data: bytes, patterns):
+    out = []
+    for p in patterns:
+        if len(p) == 0:
+            out.append(len(data))
+            continue
+        out.append(sum(1 for i in range(len(data)) if data[i : i + len(p)] == p))
+    return np.array(out, dtype=np.int32)
+
+
+def device_args(data: bytes):
+    n = len(data)
+    n_pad = _pad_len(n + PAD_MARGIN)
+    text = np.zeros(n_pad, dtype=np.uint8)
+    text[:n] = np.frombuffer(data, dtype=np.uint8)
+    sa = np.zeros(n_pad, dtype=np.int32)
+    sa[:n] = suffix_array_numpy(text[:n])
+    return jnp.asarray(text), jnp.int32(n), jnp.asarray(sa)
+
+
+CORPORA = [
+    b'banana banana band ana nab\n',
+    bytes(np.random.default_rng(0).integers(0, 256, 2000, dtype=np.uint8)),
+    bytes(np.random.default_rng(1).integers(97, 100, 3000, dtype=np.uint8)),
+    b'\x00\x01\x00\x00\x02\x00\x01\x00' * 50,
+    b'aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa',
+]
+
+
+def sample_patterns(data: bytes, seed: int):
+    rng = np.random.default_rng(seed)
+    pats = [b'', b'\x00', b'\xff', data[:1], data[-1:]]
+    for _ in range(40):
+        if len(data) < 3:
+            break
+        i = int(rng.integers(0, len(data) - 1))
+        l = int(rng.integers(1, min(20, len(data) - i) + 1))
+        pats.append(data[i : i + l])
+    if len(data) < 900:
+        # Longer than any suffix but still within the device-window
+        # contract (L <= PAD_MARGIN); beyond it the API uses the host path.
+        pats.append(data + b'x')
+    pats.append(bytes(rng.integers(0, 256, 5, dtype=np.uint8)))
+    return pats
+
+
+@pytest.mark.parametrize('ci', range(len(CORPORA)))
+def test_plain_and_bucketed_match_brute_force(ci):
+    data = CORPORA[ci]
+    text, n, sa = device_args(data)
+    pats = sample_patterns(data, ci)
+    packed, lengths = pack_patterns(pats)
+    expected = brute_counts(data, pats)
+
+    lo_p, cnt_p = probe_bounds(text, n, sa, jnp.asarray(packed), jnp.asarray(lengths))
+    np.testing.assert_array_equal(np.asarray(cnt_p), expected)
+
+    table = build_bucket_table(text, n, sa)
+    lo_b, cnt_b = probe_bounds_bucketed(
+        text, n, sa, table, jnp.asarray(packed), jnp.asarray(lengths)
+    )
+    np.testing.assert_array_equal(np.asarray(cnt_b), expected)
+    # Both paths must agree on the ranges too, not just the counts.
+    np.testing.assert_array_equal(np.asarray(lo_b), np.asarray(lo_p))

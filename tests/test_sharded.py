@@ -26,7 +26,9 @@ def make_corpus_chunks(num_chunks, seed=0):
 
 
 def stack_chunks(raw_chunks):
-    n_pad = _pad_len(max(len(c) for c in raw_chunks))
+    from pysubstringsearch_tpu.ops.search import PAD_MARGIN
+
+    n_pad = _pad_len(max(len(c) for c in raw_chunks) + PAD_MARGIN)
     C = len(raw_chunks)
     text = np.zeros((C, n_pad), dtype=np.uint8)
     n = np.zeros((C,), dtype=np.int32)
