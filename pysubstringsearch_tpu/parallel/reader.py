@@ -1,0 +1,119 @@
+"""ShardedReader — the Reader, scaled over a device mesh.
+
+Same API and result-set semantics as ``api.Reader`` (the conformance tests
+run against both), but chunk arrays are placed across a 1-D mesh with
+``NamedSharding`` and the probe runs as one sharded program: queries
+replicated to every device, per-chunk hit ranges all-gathered back (the
+collective analog of the reference's rayon fan-out + mutex merge,
+src/lib.rs:205-284).
+
+Single-host form: every process holds all chunk text for line extraction and
+shards only the device arrays.  The multi-host recipe (each host feeding its
+own chunk shard, DCN gather of hit ranges, host-0 merge) composes from the
+same pieces — see ``sharded_probe_program`` and docs in ARCHITECTURE.md.
+"""
+
+from __future__ import annotations
+
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .. import container
+from ..ops import search as search_ops
+from ..ops.extract import LineTable
+from ..ops.suffix_array import _pad_len
+from .mesh import CHUNK_AXIS, make_mesh
+
+
+class ShardedReader:
+    def __init__(
+        self,
+        index_file_path: str,
+        mesh: typing.Optional[jax.sharding.Mesh] = None,
+    ) -> None:
+        self._chunks = container.read_chunks(index_file_path)
+        self._tables = [LineTable(c.data) for c in self._chunks]
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._num_real = len(self._chunks)
+        self._build_device_state()
+
+    def _build_device_state(self) -> None:
+        d = self.mesh.devices.size
+        # Pad the chunk count to a mesh multiple; padding chunks have n = 0
+        # and can never produce hits.
+        C = max(d, -(-max(self._num_real, 1) // d) * d)
+        max_n = max((c.data.size for c in self._chunks), default=1)
+        n_pad = _pad_len(max_n + search_ops.PAD_MARGIN)
+        text = np.zeros((C, n_pad), dtype=np.uint8)
+        sa = np.zeros((C, n_pad), dtype=np.int32)
+        n = np.zeros((C,), dtype=np.int32)
+        for i, c in enumerate(self._chunks):
+            text[i, : c.data.size] = c.data
+            sa[i, : c.suffix_array.size] = c.suffix_array
+            n[i] = c.data.size
+        shard = NamedSharding(self.mesh, P(CHUNK_AXIS))
+        self.text = jax.device_put(text, shard)
+        self.sa = jax.device_put(sa, shard)
+        self.lengths = jax.device_put(n, shard)
+        tables = search_ops.build_bucket_table_batch_jit(
+            self.text, self.lengths, self.sa
+        )
+        self.tables = jax.device_put(np.asarray(tables), shard)
+        widths = np.asarray(jnp.max(jnp.diff(self.tables, axis=1), axis=1))
+        self._steps = search_ops.steps_for_width(int(widths.max(initial=0)))
+        self._n_pad = n_pad
+        self._C = C
+
+    def _probe(self, patterns: np.ndarray, lengths: np.ndarray):
+        probe = search_ops.bucketed_batch_jit(self._steps)
+        lo, cnt = probe(
+            self.text, self.lengths, self.sa, self.tables,
+            jnp.asarray(patterns), jnp.asarray(lengths),
+        )
+        return np.asarray(lo), np.asarray(cnt)
+
+    def _search_batch(self, patterns: typing.List[bytes]):
+        if not patterns or not self._chunks:
+            return [[] for _ in patterns]
+        if max(len(p) for p in patterns) > search_ops.PAD_MARGIN:
+            out = []
+            for pat in patterns:
+                results: typing.List[str] = []
+                for c, chunk in enumerate(self._chunks):
+                    lo, cnt = search_ops.host_probe_bounds(
+                        chunk.data.tobytes(), chunk.suffix_array, pat
+                    )
+                    positions = chunk.suffix_array[lo : lo + cnt]
+                    results.extend(
+                        self._tables[c].extract_unique_lines(positions)
+                    )
+                out.append(results)
+            return out
+        packed, lengths = search_ops.pack_patterns(patterns)
+        lo, cnt = self._probe(packed, lengths)
+        out = []
+        for b in range(len(patterns)):
+            results = []
+            for c, chunk in enumerate(self._chunks):
+                count = int(cnt[c, b])
+                if count <= 0:
+                    continue
+                start = int(lo[c, b])
+                positions = chunk.suffix_array[start : start + count]
+                results.extend(self._tables[c].extract_unique_lines(positions))
+            out.append(results)
+        return out
+
+    def search(self, substring: str) -> typing.List[str]:
+        return self._search_batch([substring.encode('utf-8')])[0]
+
+    def search_multiple(self, substrings: typing.List[str]) -> typing.List[str]:
+        per = self._search_batch([s.encode('utf-8') for s in substrings])
+        results: typing.List[str] = []
+        for r in per:
+            results.extend(r)
+        return results
