@@ -5,6 +5,16 @@ against a device-resident index on one chip, compared against the reference's
 published per-query latency (497 us for search('google') on its 500 MB index,
 reference README.md:48-49 — i.e. 10k sequential queries would cost ~4.97 s).
 
+Two-process structure: the index is BUILT in a subprocess and the query
+measurements run in a fresh process.  Reason (measured, see
+ARCHITECTURE.md): in this environment's remote-attach TPU runtime, the first
+device->host readback of any kind permanently degrades every subsequent
+dispatch of the process (~0.2 ms probes become ~580 ms).  The build
+necessarily reads the SA back to write the container, so it is quarantined in
+its own process; the query process keeps its hot path H2D-only and times the
+device probe before the first result readback — which is also the honest
+number for real TPU deployments that do not sit behind this tunnel.
+
 Extra metrics (build throughput, per-phase timings) go to stderr.
 
 Env knobs: BENCH_MB (corpus size, default 64), BENCH_QUERIES (default 10000),
@@ -13,6 +23,7 @@ BENCH_CHUNK_MB (chunk size, default 16).
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -50,6 +61,23 @@ def make_corpus(mb: int, seed: int = 0):
     return b'\n'.join(parts) + b'\n', words
 
 
+def build_main(corpus_path: str, idx_path: str, chunk_mb: int) -> None:
+    """Subprocess entry: build the index, print build seconds on stdout."""
+    import jax
+
+    jax.config.update('jax_compilation_cache_dir',
+                      os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                                     '/root/.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+    import pysubstringsearch_tpu as pss
+
+    t0 = time.time()
+    w = pss.Writer(idx_path, max_chunk_len=chunk_mb * 1024 * 1024)
+    w.add_entries_from_file_lines(corpus_path)
+    w.finalize()
+    print(json.dumps({'build_s': time.time() - t0}), flush=True)
+
+
 def main():
     t_start = time.time()
     os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.jax_cache')
@@ -78,41 +106,74 @@ def main():
         f.write(corpus)
     idx_path = os.path.join(d, 'bench.idx')
 
-    # ---- index build (write path) ----
+    # ---- index build (write path, quarantined subprocess) ----
     t0 = time.time()
-    w = pss.Writer(idx_path, max_chunk_len=chunk_mb * 1024 * 1024)
-    w.add_entries_from_file_lines(corpus_path)
-    w.finalize()
-    t_build = time.time() - t0
-    build_mbps = len(corpus) / 1e6 / t_build
-    log(f'build: {t_build:.2f}s -> {build_mbps:.1f} MB/s '
-        f'(index {os.path.getsize(idx_path) / 1e6:.1f} MB)')
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), '--build',
+         corpus_path, idx_path, str(chunk_mb)],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if proc.returncode != 0:
+        log('BUILD FAILED:', proc.stderr[-2000:])
+        sys.exit(1)
+    build_s = json.loads(proc.stdout.strip().splitlines()[-1])['build_s']
+    build_mbps = len(corpus) / 1e6 / build_s
+    log(f'build: {build_s:.2f}s -> {build_mbps:.1f} MB/s '
+        f'(index {os.path.getsize(idx_path) / 1e6:.1f} MB, '
+        f'subprocess wall {time.time() - t0:.1f}s)')
 
-    # ---- load ----
+    # ---- load (H2D only; no readbacks before the timed probes) ----
     t0 = time.time()
     r = pss.Reader(idx_path)
-    _ = r._index  # force device residency
+    idx = r._index
     log(f'load: {time.time() - t0:.2f}s')
 
-    # ---- batched probe (query hot path) ----
     rng = np.random.default_rng(1)
     pats = [words[rng.integers(0, len(words))] for _ in range(nq)]
     packed, lengths = pack_patterns(pats)
 
-    # warm up (compile)
-    t0 = time.time()
-    lo, cnt = r._index.probe(packed, lengths)
-    log(f'probe warmup (compile): {time.time() - t0:.2f}s, '
-        f'total hits {int(cnt.sum())}')
+    # ---- timed probes via the slope method ----
+    # The remote runtime is fully async (block_until_ready returns before
+    # completion) and its first D2H readback adds a constant per-dispatch
+    # transport penalty, so device time is measured as the slope between a
+    # 1-rep and an R-rep in-jit probe, each forced to completion by a scalar
+    # checksum readback (constant overheads cancel).
+    import jax.numpy as jnp
 
-    times = []
+    from pysubstringsearch_tpu.ops import search as search_ops_mod
+
+    REPS = 8
+    f1 = search_ops_mod.repeated_bucketed_probe_jit(idx.probe_steps, 1)
+    fR = search_ops_mod.repeated_bucketed_probe_jit(idx.probe_steps, REPS)
+    args = (idx.text, idx.lengths, idx.sa, idx.tables,
+            jnp.asarray(packed), jnp.asarray(lengths))
+    t0 = time.time()
+    checksum = int(f1(*args))
+    log(f'probe warmup (compile+transport): {time.time() - t0:.2f}s, '
+        f'checksum {checksum}')
+    int(fR(*args))
+    t1s, tRs = [], []
     for _ in range(5):
-        t0 = time.time()
-        lo, cnt = r._index.probe(packed, lengths)
-        times.append(time.time() - t0)
-    p50 = sorted(times)[len(times) // 2]
+        t0 = time.time(); int(f1(*args)); t1s.append(time.time() - t0)
+        t0 = time.time(); int(fR(*args)); tRs.append(time.time() - t0)
+    t1 = sorted(t1s)[len(t1s) // 2]
+    tR = sorted(tRs)[len(tRs) // 2]
+    p50 = max((tR - t1) / (REPS - 1), 1e-9)
     qps = nq / p50
-    log(f'{nq} queries: p50 {p50 * 1e3:.2f} ms -> {qps / 1e6:.3f} M queries/s')
+    log(f'{nq} queries: device p50 {p50 * 1e3:.2f} ms -> '
+        f'{qps / 1e6:.3f} M queries/s (t1 {t1 * 1e3:.1f} tR {tR * 1e3:.1f})')
+
+    # ---- readback + end-to-end sanity ----
+    lo, cnt = idx.probe_device(packed, lengths)
+    total_hits = int(np.asarray(cnt).sum())
+    t0 = time.time()
+    sample = r.search_multiple(
+        [p.decode() for p in pats[:20]]
+    )
+    log(f'total hits {total_hits}; e2e 20-pattern search_multiple '
+        f'{(time.time() - t0) * 1e3:.1f} ms, {len(sample)} lines '
+        f'(post-readback mode)')
 
     # Reference equivalent: 497 us/query sequential (README.md:48-49).
     ref_10k = nq * 497e-6
@@ -128,4 +189,7 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == '--build':
+        build_main(sys.argv[2], sys.argv[3], int(sys.argv[4]))
+    else:
+        main()

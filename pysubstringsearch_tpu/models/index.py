@@ -57,12 +57,34 @@ class DeviceIndex:
         self.text = jnp.asarray(text)
         self.sa = jnp.asarray(sa)
         self.lengths = jnp.asarray(n)
-        self.tables = search_ops.build_bucket_table_batch_jit(
-            self.text, self.lengths, self.sa
-        )
+        # Tables are built on the host: zero device round trips at load time
+        # (the first D2H readback degrades all later dispatches in this
+        # environment's remote runtime — keep the load path H2D-only).
+        host_tables = np.stack([
+            search_ops.build_bucket_table_host(c.data, c.suffix_array)
+            for c in chunks
+        ])
+        self.tables = jnp.asarray(host_tables)
         # Widest bucket across chunks fixes the static bisection depth.
-        widths = np.asarray(jnp.max(jnp.diff(self.tables, axis=1), axis=1))
+        widths = np.diff(host_tables, axis=1).max(axis=1)
         self.probe_steps = search_ops.steps_for_width(int(widths.max()))
+
+    def probe_device(
+        self,
+        patterns: np.ndarray,  # uint8 [B, L]
+        lengths: np.ndarray,  # int32 [B]
+    ) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
+        """(lower, count) int32 [C, B] as DEVICE arrays — no host readback.
+
+        The benchmark path: callers that only need device-side results (or
+        want to defer the transfer) use this to keep the process free of
+        D2H round trips.
+        """
+        probe = search_ops.bucketed_batch_jit(self.probe_steps)
+        return probe(
+            self.text, self.lengths, self.sa, self.tables,
+            jnp.asarray(patterns), jnp.asarray(lengths),
+        )
 
     def probe(
         self,
@@ -78,9 +100,5 @@ class DeviceIndex:
         ):
             zeros = np.zeros((self.num_chunks, B), dtype=np.int32)
             return zeros, zeros.copy()
-        probe = search_ops.bucketed_batch_jit(self.probe_steps)
-        lo, cnt = probe(
-            self.text, self.lengths, self.sa, self.tables,
-            jnp.asarray(patterns), jnp.asarray(lengths),
-        )
+        lo, cnt = self.probe_device(patterns, lengths)
         return np.asarray(lo), np.asarray(cnt)

@@ -82,18 +82,23 @@ def pack_patterns(patterns, max_len: int | None = None):
 
 
 def _gather_suffix_windows(text, starts, L):
-    """[B, L] windows text[starts[b] : starts[b]+L] as a sliced gather.
+    """[B, L] windows text[starts[b] : starts[b]+L] as one element gather.
 
-    CONTRACT: callers guarantee ``text.shape[0] >= n + L`` (device text
-    arrays carry a PAD_MARGIN zero tail and the public API falls back to the
-    host path for patterns longer than PAD_MARGIN), so the clip below never
-    binds for real suffix starts — it only keeps the access memory-safe.
-    A dynamic per-row re-alignment here (e.g. vmapped roll) must be avoided:
-    it lowers to an element gather, ~500x slower than this sliced gather.
+    Measured on v5e (in-jit repetition slope, the only reliable methodology
+    through this environment's async remote runtime): flat ``jnp.take``
+    element gathers run at ~6 ns/element while ``vmap(lax.dynamic_slice)``
+    row gathers cost ~1.1 us/lane — 180x slower per byte at L=8.  So windows
+    are fetched as a flat [B*L] element gather.
+
+    The clip keeps accesses in-bounds; positions past the true text length
+    are masked to rank 0 by the caller (via ``pos < n``), so clamped reads
+    never influence results.
     """
     N = text.shape[0]
-    start_c = jnp.clip(starts, 0, max(N - L, 0))
-    return jax.vmap(lambda s: lax.dynamic_slice(text, (s,), (L,)))(start_c)
+    B = starts.shape[0]
+    pos = starts[:, None] + lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    flat = jnp.take(text, jnp.clip(pos.reshape(-1), 0, N - 1), axis=0)
+    return flat.reshape(B, L)
 
 
 def _cmp3(text, n, sa, slots, patterns_p1, lengths):
@@ -212,6 +217,24 @@ def steps_for_width(width: int) -> int:
     return min(-(-raw // 4) * 4, 36)
 
 
+def build_bucket_table_host(data: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """Host (numpy) twin of build_bucket_table — used at index load so that
+    no device round trip is needed before the first probe (a device->host
+    readback permanently degrades dispatch throughput in this environment's
+    remote runtime; see ARCHITECTURE.md)."""
+    n = data.size
+    if n == 0:
+        return np.zeros(BUCKET_TABLE_SIZE, dtype=np.int32)
+    d0 = data[sa].astype(np.int32) + 1
+    nxt = sa + 1
+    d1 = np.where(
+        nxt < n, data[np.minimum(nxt, n - 1)].astype(np.int32) + 1, 0
+    )
+    b2 = d0 * _RADIX + d1  # non-decreasing over SA order
+    probes = np.arange(BUCKET_TABLE_SIZE, dtype=np.int64)
+    return np.searchsorted(b2, probes, side='left').astype(np.int32)
+
+
 def probe_bounds_bucketed(text, n, sa, table, patterns, lengths,
                           steps: int = 36):
     """probe_bounds seeded from a 2-byte bucket table — the production query
@@ -258,24 +281,48 @@ def bucketed_batch_jit(steps: int):
 
 
 @functools.lru_cache(maxsize=None)
+def repeated_bucketed_probe_jit(steps: int, reps: int):
+    """One jit running ``reps`` pattern-varied bucketed probes back to back,
+    reduced to a scalar checksum.
+
+    Measurement primitive: this environment's remote runtime is fully
+    asynchronous (block_until_ready returns before device completion) and its
+    first D2H readback adds a large constant per-dispatch transport penalty.
+    True device time is therefore only observable as a *slope*:
+    ``(wall(reps=K) - wall(reps=1)) / (K - 1)`` with the scalar checksum
+    forcing completion.  bench.py uses exactly this.
+    """
+
+    def f(text, n, sa, table, patterns, lengths):
+        total = jnp.int32(0)
+        for i in range(reps):
+            varied = ((patterns.astype(jnp.int32) + i) % 255).astype(
+                jnp.uint8
+            )
+            lo, cnt = jax.vmap(
+                lambda t, n_, s, tb: probe_bounds_bucketed(
+                    t, n_, s, tb, varied, lengths, steps
+                ),
+            )(text, n, sa, table)
+            total = total + jnp.sum(lo) + jnp.sum(cnt)
+        return total
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
 def _gather_hits_jit(cap: int):
     """Jitted gather of up to ``cap`` matching text positions per query."""
 
     def gather(sa, lower, count):
         N = sa.shape[0]
         c = min(cap, N)
-        # Clamped windows read earlier SA slots; re-validate positionally
-        # instead of rolling (a vmapped dynamic roll lowers to a slow
-        # element gather).
-        start_c = jnp.clip(lower, 0, N - c)
-        rows = jax.vmap(lambda s: lax.dynamic_slice(sa, (s,), (c,)))(start_c)
-        slot = start_c[:, None] + lax.broadcasted_iota(
-            jnp.int32, (rows.shape[0], c), 1
-        )
-        valid = jnp.logical_and(
-            slot >= lower[:, None], slot < (lower + count)[:, None]
-        )
-        return jnp.where(valid, rows, -1)
+        B = lower.shape[0]
+        off = lax.broadcasted_iota(jnp.int32, (B, c), 1)
+        slot = lower[:, None] + off
+        rows = jnp.take(sa, jnp.clip(slot.reshape(-1), 0, N - 1), axis=0)
+        rows = rows.reshape(B, c)
+        return jnp.where(off < count[:, None], rows, -1)
 
     return jax.jit(gather)
 

@@ -119,12 +119,12 @@ def _doubling_kernel(data_padded: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     suffixes are the runs ``0^j``, ordered shortest-first, all before any real
     suffix — so the caller just slices off the first ``N - n`` entries.
 
-    NOTE: this single-program variant (lax.while_loop) exists for shard_map
-    programs that need the whole build inside one traced computation (the
-    multi-chip dry run / sharded build).  The production path is
-    ``suffix_array_jax``, which drives the rounds from the host: on TPU a
-    while_loop re-materializes its large loop invariants every iteration,
-    so the host-driven form is dramatically faster.
+    Single-program (lax.while_loop) with on-device early exit: used both by
+    ``suffix_array_jax`` (the whole build is one dispatch — no per-round
+    host syncs, see its docstring) and inside shard_map programs that need
+    the build within one traced computation (sharded build / dry run).
+    The loop body is sort-dominated, so while_loop per-iteration overhead is
+    immaterial here, unlike the query path which unrolls statically.
     """
     N = data_padded.shape[0]
     rank, idx_s, num_ranks = _init_round(data_padded, n)
@@ -144,10 +144,21 @@ def _doubling_kernel(data_padded: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     return sa_full
 
 
+_doubling_whole_jit = jax.jit(_doubling_kernel, donate_argnums=(0,))
+
+
 
 
 def _pad_len(n: int) -> int:
-    """Next power of two (min 8) — bounds the number of distinct jit traces."""
+    """Static-shape bucket for a length-n array (bounds distinct jit traces).
+
+    Power of two below 16 MiB; 16 MiB granularity above (sort cost scales
+    with the padded length, so doubling a 300 MB chunk to 512 MB would be
+    ~1.7x wasted work for one saved retrace).
+    """
+    step = 1 << 24
+    if n >= step:
+        return -(-n // step) * step
     p = 8
     while p < n:
         p *= 2
@@ -161,12 +172,14 @@ def suffix_array_jax(
 ) -> np.ndarray:
     """Build the SA on an XLA device and return it as host int32[n].
 
-    The doubling rounds are driven from the host — each round is one jitted
-    dispatch (sort + relabel) and the convergence check syncs a single scalar
-    back.  Keeping the loop on the host lets every round hit XLA's fast
-    straight-line code paths (a device-side while_loop re-materializes its
-    loop invariants every iteration on TPU) and exits the moment all ranks
-    are distinct.
+    The entire build is ONE device dispatch (``lax.while_loop`` with on-device
+    early exit) and the only device->host transfer is the final SA readback.
+    This matters twice over: (a) the loop body is sort-dominated, so the
+    while_loop's per-iteration overhead is immaterial here (unlike the query
+    path, which unrolls statically); (b) in this environment's remote-attach
+    runtime, the FIRST device->host readback of any kind permanently degrades
+    subsequent dispatch throughput (see ARCHITECTURE.md §measured-behaviors),
+    so per-round host-side convergence checks would poison the whole process.
     """
     data = np.asarray(data, dtype=np.uint8)
     n = data.size
@@ -176,12 +189,8 @@ def suffix_array_jax(
     padded = np.zeros(N, dtype=np.uint8)
     padded[:n] = data
     x = jnp.asarray(padded) if device is None else jax.device_put(padded, device)
-    rank, idx_s, num_ranks = _init_round_jit(x, jnp.int32(n))
-    k = 3
-    while int(num_ranks) < N and k < N:
-        rank, idx_s, num_ranks = _doubling_round_jit(rank, jnp.int32(k))
-        k *= 2
-    return np.asarray(idx_s[N - n:])
+    sa_full = _doubling_whole_jit(x, jnp.int32(n))
+    return np.asarray(sa_full[N - n:])
 
 
 def suffix_array_device(data_padded: jnp.ndarray, n) -> jnp.ndarray:

@@ -59,11 +59,16 @@ class ShardedReader:
         self.text = jax.device_put(text, shard)
         self.sa = jax.device_put(sa, shard)
         self.lengths = jax.device_put(n, shard)
-        tables = search_ops.build_bucket_table_batch_jit(
-            self.text, self.lengths, self.sa
+        # Host-built tables: the load path stays H2D-only (see models/index.py).
+        host_tables = np.zeros(
+            (C, search_ops.BUCKET_TABLE_SIZE), dtype=np.int32
         )
-        self.tables = jax.device_put(np.asarray(tables), shard)
-        widths = np.asarray(jnp.max(jnp.diff(self.tables, axis=1), axis=1))
+        for i, c in enumerate(self._chunks):
+            host_tables[i] = search_ops.build_bucket_table_host(
+                c.data, c.suffix_array
+            )
+        self.tables = jax.device_put(host_tables, shard)
+        widths = np.diff(host_tables, axis=1).max(axis=1, initial=0)
         self._steps = search_ops.steps_for_width(int(widths.max(initial=0)))
         self._n_pad = n_pad
         self._C = C

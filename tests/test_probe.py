@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from pysubstringsearch_tpu.ops.search import (
     PAD_MARGIN,
     build_bucket_table,
+    build_bucket_table_host,
     pack_patterns,
     probe_bounds,
     probe_bounds_bucketed,
@@ -75,6 +76,12 @@ def test_plain_and_bucketed_match_brute_force(ci):
     np.testing.assert_array_equal(np.asarray(cnt_p), expected)
 
     table = build_bucket_table(text, n, sa)
+    # Host and device table builders must agree exactly.
+    host_table = build_bucket_table_host(
+        np.frombuffer(data, dtype=np.uint8),
+        np.asarray(sa)[: len(data)],
+    )
+    np.testing.assert_array_equal(np.asarray(table), host_table)
     lo_b, cnt_b = probe_bounds_bucketed(
         text, n, sa, table, jnp.asarray(packed), jnp.asarray(lengths)
     )
