@@ -79,15 +79,27 @@ def suffix_array_numpy(data: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _init_round(data_padded: jnp.ndarray, n: jnp.ndarray):
-    """Initial ordering by 3-byte prefix: one sort covers k in {1, 2, 3}."""
+    """Initial ordering by 6-byte prefix: one 2-key sort covers k in 1..6,
+    so the doubling loop starts at k=6 — for natural text (ranks typically
+    distinct by k ~ 16..64) this halves the round count versus a byte-wise
+    start."""
     N = data_padded.shape[0]
     iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
     d = jnp.where(iota < n, data_padded.astype(jnp.int32) + 1, 0)
-    d1 = jnp.where(iota + 1 < n, jnp.roll(d, -1), 0)
-    d2 = jnp.where(iota + 2 < n, jnp.roll(d, -2), 0)
-    key = (d * 257 + d1) * 257 + d2  # < 257**3, comfortably int32
-    key_s, idx_s = lax.sort((key, iota), num_keys=1, is_stable=False)
-    flags = jnp.where(iota == 0, 0, (key_s != jnp.roll(key_s, 1)).astype(jnp.int32))
+
+    def shifted(j):
+        return jnp.where(iota + j < n, jnp.roll(d, -j), 0)
+
+    # Two base-257 3-byte limbs; each < 257**3, comfortably int32.
+    limb0 = (d * 257 + shifted(1)) * 257 + shifted(2)
+    limb1 = (shifted(3) * 257 + shifted(4)) * 257 + shifted(5)
+    l0_s, l1_s, idx_s = lax.sort(
+        (limb0, limb1, iota), num_keys=2, is_stable=False
+    )
+    changed = jnp.logical_or(
+        l0_s != jnp.roll(l0_s, 1), l1_s != jnp.roll(l1_s, 1)
+    )
+    flags = jnp.where(iota == 0, 0, changed.astype(jnp.int32))
     rank_s = jnp.cumsum(flags, dtype=jnp.int32)
     rank = jnp.zeros((N,), jnp.int32).at[idx_s].set(rank_s)
     return rank, idx_s, rank_s[-1] + 1
@@ -139,7 +151,7 @@ def _doubling_kernel(data_padded: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
         return k * 2, new_rank, idx_s, num_ranks
 
     _, _, sa_full, _ = lax.while_loop(
-        cond, body, (jnp.int32(3), rank, idx_s, num_ranks)
+        cond, body, (jnp.int32(6), rank, idx_s, num_ranks)
     )
     return sa_full
 
