@@ -144,9 +144,16 @@ def main():
     from pysubstringsearch_tpu.ops import search as search_ops_mod
 
     REPS = 8
-    f1 = search_ops_mod.repeated_bucketed_probe_jit(idx.probe_steps, 1)
-    fR = search_ops_mod.repeated_bucketed_probe_jit(idx.probe_steps, REPS)
-    args = (idx.text, idx.lengths, idx.sa, idx.tables,
+    deep = (
+        idx.probe_steps
+        if packed.shape[1] > search_ops_mod.key_cover_bytes(idx.num_limbs)
+        else 0
+    )
+    f1 = search_ops_mod.repeated_limbs_probe_jit(
+        idx.probe_steps, deep, idx.num_limbs, 1)
+    fR = search_ops_mod.repeated_limbs_probe_jit(
+        idx.probe_steps, deep, idx.num_limbs, REPS)
+    args = (idx.text, idx.lengths, idx.sa, idx.tables, idx.limbs,
             jnp.asarray(packed), jnp.asarray(lengths))
     t0 = time.time()
     checksum = int(f1(*args))

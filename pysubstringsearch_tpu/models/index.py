@@ -57,9 +57,10 @@ class DeviceIndex:
         self.text = jnp.asarray(text)
         self.sa = jnp.asarray(sa)
         self.lengths = jnp.asarray(n)
-        # Tables are built on the host: zero device round trips at load time
-        # (the first D2H readback degrades all later dispatches in this
-        # environment's remote runtime — keep the load path H2D-only).
+        # Tables and packed prefix keys are built on the host: zero device
+        # round trips at load time (the first D2H readback degrades all later
+        # dispatches in this environment's remote runtime — keep the load
+        # path H2D-only).
         host_tables = np.stack([
             search_ops.build_bucket_table_host(c.data, c.suffix_array)
             for c in chunks
@@ -68,6 +69,16 @@ class DeviceIndex:
         # Widest bucket across chunks fixes the static bisection depth.
         widths = np.diff(host_tables, axis=1).max(axis=1)
         self.probe_steps = search_ops.steps_for_width(int(widths.max()))
+        self.num_limbs = search_ops.KEY_LIMBS
+        limbs = np.zeros(
+            (self.num_chunks, n_pad * self.num_limbs), dtype=np.int32
+        )
+        for i, c in enumerate(chunks):
+            k = search_ops.build_limbs_host(
+                c.data, c.suffix_array, self.num_limbs
+            )
+            limbs[i, : k.size] = k.reshape(-1)
+        self.limbs = jnp.asarray(limbs)
 
     def probe_device(
         self,
@@ -80,9 +91,18 @@ class DeviceIndex:
         want to defer the transfer) use this to keep the process free of
         D2H round trips.
         """
-        probe = search_ops.bucketed_batch_jit(self.probe_steps)
+        # deep refinement only when the batch has patterns beyond the packed
+        # key coverage — a static (host-known) decision per pattern width.
+        deep = (
+            self.probe_steps
+            if patterns.shape[1] > search_ops.key_cover_bytes(self.num_limbs)
+            else 0
+        )
+        probe = search_ops.limbs_batch_jit(
+            self.probe_steps, deep, self.num_limbs
+        )
         return probe(
-            self.text, self.lengths, self.sa, self.tables,
+            self.text, self.lengths, self.sa, self.tables, self.limbs,
             jnp.asarray(patterns), jnp.asarray(lengths),
         )
 

@@ -59,6 +59,15 @@ _RADIX = 258
 #: Bucket table: one entry per 2-digit prefix value plus a terminator.
 BUCKET_TABLE_SIZE = _RADIX * _RADIX + 1
 
+#: Limbs per suffix in the packed prefix-key array: each limb holds 3 bytes
+#: in base-258 digits (b+1; 0 = past-end), so the bucket (2 bytes) plus
+#: KEY_LIMBS limbs cover the first ``2 + 3*KEY_LIMBS`` bytes of every suffix.
+KEY_LIMBS = 5
+
+
+def key_cover_bytes(num_limbs: int = KEY_LIMBS) -> int:
+    return 2 + 3 * num_limbs
+
 #: Zero-byte margin device text arrays carry after position n, so suffix
 #: windows up to this long never clamp. Longer patterns stay correct via the
 #: clamp+roll path, and patterns longer than the whole padded array cannot
@@ -210,11 +219,126 @@ def build_bucket_table(text, n, sa):
     return jnp.searchsorted(b2, probes, side='left').astype(jnp.int32)
 
 
+def _pattern_limb_targets(patterns, lengths, thresholds, num_limbs):
+    """Bucket ids and limb targets for duplex lanes.
+
+    Lower-bound lanes (threshold 0) pad past-the-pattern digits with 0 (the
+    -infinity digit), upper-bound lanes with 257 (+infinity): the first slot
+    whose key-sequence compares >= the lower target is exactly the lower
+    bound, and >= +1 the upper — no per-byte length masks needed.
+    """
+    B2, L = patterns.shape
+    width = key_cover_bytes(num_limbs)
+    pad = jnp.where(thresholds > 0, _RADIX - 1, 0)  # [2B]
+    cols = min(L, width)
+    ipos = lax.broadcasted_iota(jnp.int32, (B2, width), 1)
+    raw = jnp.zeros((B2, width), jnp.int32)
+    raw = raw.at[:, :cols].set(patterns[:, :cols].astype(jnp.int32) + 1)
+    digits = jnp.where(ipos < lengths[:, None], raw, pad[:, None])
+    bucket = digits[:, 0] * _RADIX + digits[:, 1]
+    tgt = jnp.stack(
+        [
+            (digits[:, 2 + 3 * j] * _RADIX + digits[:, 3 + 3 * j]) * _RADIX
+            + digits[:, 4 + 3 * j]
+            for j in range(num_limbs)
+        ],
+        axis=1,
+    )  # [2B, K]
+    return bucket, tgt
+
+
+def _limb_cmp3(limbs_flat, slots, targets, num_limbs):
+    """Three-way compare of packed suffix keys at SA slots vs targets."""
+    B2 = slots.shape[0]
+    K = num_limbs
+    col = lax.broadcasted_iota(jnp.int32, (B2, K), 1)
+    idx = slots[:, None] * K + col
+    Nk = limbs_flat.shape[0]
+    rows = jnp.take(
+        limbs_flat, jnp.clip(idx.reshape(-1), 0, Nk - 1), axis=0
+    ).reshape(B2, K)
+    d = jnp.sign(rows - targets)
+    nz = d != 0
+    firstj = jnp.min(jnp.where(nz, col, K), axis=1)
+    onehot = jnp.logical_and(col == firstj[:, None], nz)
+    return jnp.sum(d * onehot, axis=1).astype(jnp.int32)
+
+
+def probe_bounds_limbs(text, n, sa, table, limbs_flat, patterns, lengths,
+                       steps: int, deep_steps: int = 0,
+                       num_limbs: int = KEY_LIMBS):
+    """The production probe: bucket-seeded bisection over packed prefix keys.
+
+    Each bisection step gathers ``num_limbs`` int32 elements per lane (vs L
+    text bytes for the byte-window probe) and compares in pure digit space.
+    Patterns longer than ``key_cover_bytes(num_limbs)`` finish with
+    ``deep_steps`` byte-window bisection steps inside the key-resolved range
+    (callers pass deep_steps=0 when the batch's max length fits the keys —
+    a static, trace-time decision).
+    """
+    n = jnp.asarray(n, jnp.int32)
+    both, both_len, thresholds = _duplex(patterns, lengths)
+    B = patterns.shape[0]
+    bucket, tgt = _pattern_limb_targets(
+        jnp.concatenate([patterns, patterns], axis=0).astype(jnp.uint8),
+        both_len, thresholds, num_limbs,
+    )
+    lo = jnp.take(table, bucket, axis=0)
+    hi = jnp.take(table, bucket + 1, axis=0)
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        cmp = _limb_cmp3(limbs_flat, mid, tgt, num_limbs)
+        pred = cmp >= thresholds
+        active = lo < hi
+        hi = jnp.where(jnp.logical_and(active, pred), mid, hi)
+        lo = jnp.where(jnp.logical_and(active, ~pred), mid + 1, lo)
+    if deep_steps > 0:
+        # Keys resolved only the first key_cover_bytes(); continue on raw
+        # text within the key-equal range (exchange duplex halves so both
+        # lanes bisect the same enclosing range).
+        l0 = jnp.concatenate([lo[:B], lo[:B]], axis=0)
+        h0 = jnp.concatenate([lo[B:], lo[B:]], axis=0)
+        lo = _bisect_first_geq(
+            text, n, sa, both, both_len, thresholds, l0, h0, deep_steps
+        )
+    lower = lo[:B]
+    return lower, lo[B:] - lower
+
+
 def steps_for_width(width: int) -> int:
     """Static bisection step count for a max seeded-range width, rounded up
     to a multiple of 4 to bound the number of distinct jit traces."""
     raw = int(np.ceil(np.log2(width + 1))) + 1 if width > 0 else 0
     return min(-(-raw // 4) * 4, 36)
+
+
+def build_limbs_host(
+    data: np.ndarray, sa: np.ndarray, num_limbs: int = KEY_LIMBS
+) -> np.ndarray:
+    """[n, num_limbs] int32 packed prefix keys in SA-slot order.
+
+    limb j of slot i packs bytes ``sa[i]+2+3j .. +3`` of the text as three
+    base-258 digits (byte+1; 0 past the end).  Together with the 2-byte
+    bucket id this gives each SA slot a ``key_cover_bytes()``-byte sortable
+    prefix key, so probe bisection steps gather ``num_limbs`` int32 elements
+    per lane instead of L text bytes — and need no per-byte length masks
+    (the pad digits encode string end exactly).
+    """
+    n = data.size
+    if n == 0:
+        return np.zeros((0, num_limbs), dtype=np.int32)
+    # Digit stream in text order, padded so all windows are in-bounds.
+    width = key_cover_bytes(num_limbs)
+    digits = np.zeros(n + width, dtype=np.int32)
+    digits[:n] = data.astype(np.int32) + 1
+    out = np.empty((n, num_limbs), dtype=np.int32)
+    base = sa.astype(np.int64) + 2
+    for j in range(num_limbs):
+        o = base + 3 * j
+        out[:, j] = (
+            (digits[o] * _RADIX + digits[o + 1]) * _RADIX + digits[o + 2]
+        )
+    return out
 
 
 def build_bucket_table_host(data: np.ndarray, sa: np.ndarray) -> np.ndarray:
@@ -278,6 +402,43 @@ def bucketed_batch_jit(steps: int):
         )
 
     return jax.jit(jax.vmap(f, in_axes=(0, 0, 0, 0, None, None)))
+
+
+@functools.lru_cache(maxsize=None)
+def limbs_batch_jit(steps: int, deep_steps: int, num_limbs: int):
+    """Jitted chunk-vmapped limb-key probe (the production query path)."""
+
+    def f(text, n, sa, table, limbs, patterns, lengths):
+        return probe_bounds_limbs(
+            text, n, sa, table, limbs, patterns, lengths,
+            steps, deep_steps, num_limbs,
+        )
+
+    return jax.jit(jax.vmap(f, in_axes=(0, 0, 0, 0, 0, None, None)))
+
+
+@functools.lru_cache(maxsize=None)
+def repeated_limbs_probe_jit(steps: int, deep_steps: int, num_limbs: int,
+                             reps: int):
+    """Slope-measurement twin of limbs_batch_jit (see
+    repeated_bucketed_probe_jit for why slopes)."""
+
+    def f(text, n, sa, table, limbs, patterns, lengths):
+        total = jnp.int32(0)
+        for i in range(reps):
+            varied = ((patterns.astype(jnp.int32) + i) % 255).astype(
+                jnp.uint8
+            )
+            lo, cnt = jax.vmap(
+                lambda t, n_, s, tb, lb: probe_bounds_limbs(
+                    t, n_, s, tb, lb, varied, lengths,
+                    steps, deep_steps, num_limbs,
+                ),
+            )(text, n, sa, table, limbs)
+            total = total + jnp.sum(lo) + jnp.sum(cnt)
+        return total
+
+    return jax.jit(f)
 
 
 @functools.lru_cache(maxsize=None)

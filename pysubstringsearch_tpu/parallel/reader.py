@@ -70,13 +70,26 @@ class ShardedReader:
         self.tables = jax.device_put(host_tables, shard)
         widths = np.diff(host_tables, axis=1).max(axis=1, initial=0)
         self._steps = search_ops.steps_for_width(int(widths.max(initial=0)))
+        self.num_limbs = search_ops.KEY_LIMBS
+        limbs = np.zeros((C, n_pad * self.num_limbs), dtype=np.int32)
+        for i, c in enumerate(self._chunks):
+            k = search_ops.build_limbs_host(
+                c.data, c.suffix_array, self.num_limbs
+            )
+            limbs[i, : k.size] = k.reshape(-1)
+        self.limbs = jax.device_put(limbs, shard)
         self._n_pad = n_pad
         self._C = C
 
     def _probe(self, patterns: np.ndarray, lengths: np.ndarray):
-        probe = search_ops.bucketed_batch_jit(self._steps)
+        deep = (
+            self._steps
+            if patterns.shape[1] > search_ops.key_cover_bytes(self.num_limbs)
+            else 0
+        )
+        probe = search_ops.limbs_batch_jit(self._steps, deep, self.num_limbs)
         lo, cnt = probe(
-            self.text, self.lengths, self.sa, self.tables,
+            self.text, self.lengths, self.sa, self.tables, self.limbs,
             jnp.asarray(patterns), jnp.asarray(lengths),
         )
         return np.asarray(lo), np.asarray(cnt)

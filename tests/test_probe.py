@@ -8,12 +8,16 @@ import pytest
 import jax.numpy as jnp
 
 from pysubstringsearch_tpu.ops.search import (
+    KEY_LIMBS,
     PAD_MARGIN,
     build_bucket_table,
     build_bucket_table_host,
+    build_limbs_host,
+    key_cover_bytes,
     pack_patterns,
     probe_bounds,
     probe_bounds_bucketed,
+    probe_bounds_limbs,
 )
 from pysubstringsearch_tpu.ops.suffix_array import suffix_array_numpy, _pad_len
 
@@ -88,3 +92,25 @@ def test_plain_and_bucketed_match_brute_force(ci):
     np.testing.assert_array_equal(np.asarray(cnt_b), expected)
     # Both paths must agree on the ranges too, not just the counts.
     np.testing.assert_array_equal(np.asarray(lo_b), np.asarray(lo_p))
+
+    # Limb-key probe (the production path), with and without deep phase.
+    limbs = build_limbs_host(
+        np.frombuffer(data, dtype=np.uint8), np.asarray(sa)[: len(data)]
+    )
+    limbs_pad = np.zeros(text.shape[0] * KEY_LIMBS, dtype=np.int32)
+    limbs_pad[: limbs.size] = limbs.reshape(-1)
+    width = key_cover_bytes()
+    deep = 36 if packed.shape[1] > width else 0
+    lo_l, cnt_l = probe_bounds_limbs(
+        text, n, sa, table, jnp.asarray(limbs_pad),
+        jnp.asarray(packed), jnp.asarray(lengths), 36, deep,
+    )
+    np.testing.assert_array_equal(np.asarray(cnt_l), expected)
+    np.testing.assert_array_equal(np.asarray(lo_l), np.asarray(lo_p))
+    # Force the deep phase even when keys would suffice: must still agree.
+    lo_d, cnt_d = probe_bounds_limbs(
+        text, n, sa, table, jnp.asarray(limbs_pad),
+        jnp.asarray(packed), jnp.asarray(lengths), 36, 36,
+    )
+    np.testing.assert_array_equal(np.asarray(cnt_d), expected)
+    np.testing.assert_array_equal(np.asarray(lo_d), np.asarray(lo_p))
