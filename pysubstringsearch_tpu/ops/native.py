@@ -20,25 +20,36 @@ _LOCK = threading.Lock()
 _LIB: typing.Optional[ctypes.CDLL] = None
 _TRIED = False
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, 'native', 'sais.cpp')
-_SO = os.path.join(_REPO_ROOT, 'native', 'libtpuss.so')
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_REPO_ROOT = os.path.dirname(_PKG_ROOT)
+
+# Search order: wheel layout (setup.py's build_native output inside the
+# package) first, then the source-checkout layout with on-demand g++ build.
+_WHEEL_SO = os.path.join(_PKG_ROOT, '_native', 'libtpuss.so')
+_SRC_CANDIDATES = (
+    os.path.join(_REPO_ROOT, 'native', 'sais.cpp'),
+    os.path.join(_PKG_ROOT, '_native', 'sais.cpp'),
+)
 
 
 def _build() -> typing.Optional[str]:
-    if not os.path.exists(_SRC):
+    if os.path.exists(_WHEEL_SO):
+        return _WHEEL_SO
+    src = next((s for s in _SRC_CANDIDATES if os.path.exists(s)), None)
+    if src is None:
         return None
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
+    so = os.path.join(os.path.dirname(src), 'libtpuss.so')
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
     cmd = [
         'g++', '-O3', '-std=c++17', '-shared', '-fPIC', '-march=native',
-        '-o', _SO, _SRC,
+        '-o', so, src,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
     except (OSError, subprocess.SubprocessError):
-        return _SO if os.path.exists(_SO) else None
-    return _SO
+        return so if os.path.exists(so) else None
+    return so
 
 
 def _load() -> typing.Optional[ctypes.CDLL]:
@@ -67,6 +78,23 @@ def _load() -> typing.Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
         ]
+        # Newer entry points; probe so stale prebuilt .so files still load.
+        if hasattr(lib, 'tpuss_build_sa_i32'):
+            lib.tpuss_build_sa_i32.restype = ctypes.c_int32
+            lib.tpuss_build_sa_i32.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+        if hasattr(lib, 'tpuss_unbwt'):
+            lib.tpuss_unbwt.restype = ctypes.c_int32
+            lib.tpuss_unbwt.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
         _LIB = lib
         return _LIB
 
@@ -95,3 +123,43 @@ def suffix_array_native(data: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f'native SA-IS failed with code {rc}')
     return sa
+
+
+def suffix_array_int_native(data: np.ndarray, k: int) -> np.ndarray:
+    """SA over an int32 alphabet [0, k) — `libsais_int` parity
+    (reference src/libsais/libsais.c:6612-6625)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, 'tpuss_build_sa_i32'):
+        raise RuntimeError('native int-alphabet SA-IS is not available')
+    data = np.ascontiguousarray(data, dtype=np.int32)
+    n = data.size
+    sa = np.empty(n, dtype=np.int32)
+    if n == 0:
+        return sa
+    rc = lib.tpuss_build_sa_i32(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(n),
+        ctypes.c_int32(k),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise RuntimeError(f'native int SA-IS failed with code {rc}')
+    return sa
+
+
+def unbwt_native(u: np.ndarray, primary_index: int) -> np.ndarray:
+    """Inverse BWT via the native LF walk (libsais_unbwt parity)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, 'tpuss_unbwt'):
+        raise RuntimeError('native unbwt is not available')
+    u = np.ascontiguousarray(u, dtype=np.uint8)
+    out = np.empty(u.size, dtype=np.uint8)
+    rc = lib.tpuss_unbwt(
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int32(u.size),
+        ctypes.c_int32(primary_index),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise RuntimeError(f'native unbwt failed with code {rc}')
+    return out
