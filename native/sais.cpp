@@ -155,6 +155,51 @@ i32 tpuss_build_sa_u8(const uint8_t* data, i32 n, i32* sa_out) {
   return 0;
 }
 
+// Suffix array of an int32 string with values in [0, k) — the analogue of
+// the reference kernel's integer-alphabet entry point (libsais_int,
+// reference src/libsais/libsais.c:6612-6625).  Returns 0 on success.
+i32 tpuss_build_sa_i32(const i32* data, i32 n, i32 k, i32* sa_out) {
+  if (n < 0 || k <= 0 || k > 0x3FFFFFFF) return -1;
+  if (n == 0) return 0;
+  std::vector<i32> s(static_cast<size_t>(n) + 1);
+  for (i32 i = 0; i < n; ++i) {
+    if (data[i] < 0 || data[i] >= k) return -2;
+    s[i] = data[i] + 1;
+  }
+  s[n] = 0;
+  std::vector<i32> sa(static_cast<size_t>(n) + 1);
+  sais_rec(s.data(), sa.data(), n + 1, k + 1);
+  std::memcpy(sa_out, sa.data() + 1, static_cast<size_t>(n) * sizeof(i32));
+  return 0;
+}
+
+// Inverse BWT under the libsais convention (see ops/bwt.py for the
+// derivation; behavioral parity with libsais_unbwt, reference
+// src/libsais/libsais.c:7551-7638): u is the BWT column with the sentinel
+// row removed, primary_index its removed position.  Sequential LF walk —
+// exactly the pointer-chase the device cannot vectorize, so it lives here.
+i32 tpuss_unbwt(const uint8_t* u, i32 n, i32 primary_index, uint8_t* out) {
+  if (n < 0 || primary_index < 1 || primary_index > n) return -1;
+  if (n == 0) return 0;
+  std::vector<i32> lf(static_cast<size_t>(n));
+  i32 counts[256] = {0};
+  for (i32 i = 0; i < n; ++i) counts[u[i]]++;
+  i32 starts[256];
+  i32 sum = 1;  // row 0 belongs to the sentinel
+  for (i32 c = 0; c < 256; ++c) {
+    starts[c] = sum;
+    sum += counts[c];
+  }
+  for (i32 i = 0; i < n; ++i) lf[i] = starts[u[i]]++;
+  i32 p = 0;
+  for (i32 i = n - 1; i >= 0; --i) {
+    i32 m = p < primary_index ? p : p - 1;
+    out[i] = u[m];
+    p = lf[m];
+  }
+  return p == primary_index ? 0 : -2;
+}
+
 // Newline-position scan used by index load (vectorizable memchr analogue).
 // Writes at most cap positions; returns the total newline count.
 i32 tpuss_find_newlines(const uint8_t* data, i32 n, i32* out, i32 cap) {

@@ -39,6 +39,7 @@ __all__ = [
     'build_suffix_array',
     'suffix_array_numpy',
     'suffix_array_jax',
+    'suffix_array_int',
 ]
 
 
@@ -72,6 +73,78 @@ def suffix_array_numpy(data: np.ndarray) -> np.ndarray:
             break
         k *= 2
     return order.astype(np.int32)
+
+
+def suffix_array_int(
+    data: np.ndarray,
+    k: typing.Optional[int] = None,
+    backend: str = 'auto',
+) -> np.ndarray:
+    """SA over an integer alphabet ``[0, k)`` — parity with the reference
+    kernel's ``libsais_int`` entry point (src/libsais/libsais.c:6612-6625),
+    which the product never calls but the kernel API exposes.
+
+    Same comparison convention as the byte path: a proper prefix sorts
+    before any extension.  ``k`` defaults to ``max(data) + 1``.
+    """
+    data = np.ascontiguousarray(data, dtype=np.int32)
+    if data.size and data.min() < 0:
+        raise ValueError('alphabet values must be non-negative')
+    if k is None:
+        k = int(data.max()) + 1 if data.size else 1
+    if data.size and int(data.max()) >= k:
+        raise ValueError('alphabet value out of range')
+    if k > 1 << 30:
+        raise ValueError('alphabet too large (k must be <= 2**30)')
+    if backend in ('native', 'auto'):
+        from . import native
+
+        if native.available():
+            return native.suffix_array_int_native(data, k)
+        if backend == 'native':
+            raise RuntimeError('native backend unavailable')
+    if backend == 'jax':
+        return _suffix_array_int_jax(data)
+    # numpy prefix doubling is alphabet-agnostic.
+    return _suffix_array_int_numpy(data)
+
+
+def _suffix_array_int_numpy(data: np.ndarray) -> np.ndarray:
+    n = data.size
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    rank = data.astype(np.int64)
+    k = 1
+    while True:
+        rank2 = np.full(n, -1, dtype=np.int64)
+        if k < n:
+            rank2[: n - k] = rank[k:]
+        order = np.lexsort((rank2, rank))
+        r1, r2 = rank[order], rank2[order]
+        flags = np.empty(n, dtype=np.int64)
+        flags[0] = 0
+        flags[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+        new_rank_sorted = np.cumsum(flags)
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = new_rank_sorted
+        if new_rank_sorted[-1] == n - 1 or k >= n:
+            break
+        k *= 2
+    return order.astype(np.int32)
+
+
+def _suffix_array_int_jax(data: np.ndarray) -> np.ndarray:
+    """Device doubling over an int alphabet: ranks start as ``value + 1``
+    (pad sentinel 0) — not dense, but order-preserving, which is all a
+    doubling round needs — then standard rounds from k=1."""
+    n = data.size
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    N = _pad_len(n)
+    padded = np.zeros(N, dtype=np.int32)
+    padded[:n] = data + 1
+    sa_full = _int_doubling_jit(jnp.asarray(padded), jnp.int32(n))
+    return np.asarray(sa_full[N - n:])
 
 
 # ---------------------------------------------------------------------------
@@ -159,6 +232,177 @@ def _doubling_kernel(data_padded: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
 _doubling_whole_jit = jax.jit(_doubling_kernel, donate_argnums=(0,))
 
 
+# ---------------------------------------------------------------------------
+# Segmented (tie-only) doubling — the default device build
+# ---------------------------------------------------------------------------
+#
+# After the 6-byte initial sort, natural text leaves only a small fraction of
+# suffixes in tied groups; re-sorting all N elements every round (as the plain
+# kernel does, and as libsais' OpenMP block splits would, libsais.c:2138-2313)
+# wastes nearly all of the sort.  This variant keeps the suffix order in
+# *anchored* form —
+#
+#     sa[slot] = text position occupying SA slot `slot`
+#     rank[pos] = slot of the FIRST member of pos's equivalence group
+#     gs[slot]  = rank[sa[slot]]  (maintained incrementally)
+#
+# — so each round only compacts the tied slots into a fixed [S]-element
+# buffer (S = N/4), sorts *that* by (group, rank[pos+k]), and scatters the
+# refined order back.  Group-start slots double as rank labels, which makes
+# relabeling purely local to each group: untouched slots never move and never
+# change rank.  If a round's tie count overflows S (adversarial inputs, e.g.
+# one repeated byte), it falls back to a full-size sort round via lax.cond —
+# correctness never depends on the tie distribution.
+#
+# Pad suffixes (the 0^j tail runs) are placed at their final slots directly
+# by the init round (slot = N-1-pos, singleton groups), so padding never
+# occupies buffer capacity.
+
+_SEG_DIV = 4  # buffer = N // _SEG_DIV
+
+
+def _init_round_anchored(data_padded: jnp.ndarray, n: jnp.ndarray):
+    """6-byte initial sort in anchored form: returns (sa, rank, gs)."""
+    N = data_padded.shape[0]
+    iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
+    d = jnp.where(iota < n, data_padded.astype(jnp.int32) + 1, 0)
+
+    def shifted(j):
+        return jnp.where(iota + j < n, jnp.roll(d, -j), 0)
+
+    limb0 = (d * 257 + shifted(1)) * 257 + shifted(2)
+    limb1 = (shifted(3) * 257 + shifted(4)) * 257 + shifted(5)
+    l0_s, l1_s, idx_s = lax.sort(
+        (limb0, limb1, iota), num_keys=2, is_stable=False
+    )
+    npad = N - n
+    # The all-zero-limb group is exactly the pad positions; override their
+    # slots with the known final order (shorter pad suffix = smaller) and
+    # force singleton group boundaries across the pad region.
+    sa = jnp.where(iota < npad, N - 1 - iota, idx_s)
+    changed = jnp.logical_or(
+        l0_s != jnp.roll(l0_s, 1), l1_s != jnp.roll(l1_s, 1)
+    )
+    changed = jnp.logical_or(changed, iota <= npad)
+    gs = lax.cummax(jnp.where(changed, iota, 0))
+    rank = jnp.zeros((N,), jnp.int32).at[sa].set(gs)
+    return sa, rank, gs
+
+
+def _tied_flags(gs: jnp.ndarray) -> jnp.ndarray:
+    """tied[slot] = slot's group has size >= 2 (a neighbor shares its start)."""
+    N = gs.shape[0]
+    iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
+    eq_next = jnp.logical_and(gs == jnp.roll(gs, -1), iota < N - 1)
+    return jnp.logical_or(eq_next, jnp.roll(eq_next, 1))
+
+
+def _relabel_and_scatter(g, r2, pos, sa, rank, gs):
+    """Sort a (group, r2, pos) buffer and scatter the refined order back.
+
+    Group-start values double as rank labels: element b of the sorted buffer
+    belongs at global slot ``g[b] + offset_within_group`` and its new rank is
+    the global slot of the first buffer element with the same (g, r2).
+    Sentinel entries carry g >= N, so every scatter they produce lands out of
+    bounds and is dropped.
+    """
+    S = g.shape[0]
+    bidx = lax.broadcasted_iota(jnp.int32, (S,), 0)
+    g_s, r2_s, pos_s = lax.sort((g, r2, pos), num_keys=2, is_stable=False)
+    new_group = jnp.logical_or(g_s != jnp.roll(g_s, 1), bidx == 0)
+    gstart = lax.cummax(jnp.where(new_group, bidx, 0))
+    global_slot = g_s + (bidx - gstart)
+    change = jnp.logical_or(new_group, r2_s != jnp.roll(r2_s, 1))
+    first_eq = lax.cummax(jnp.where(change, global_slot, 0))
+    sa = sa.at[global_slot].set(pos_s, mode='drop')
+    rank = rank.at[pos_s].set(first_eq, mode='drop')
+    gs = gs.at[global_slot].set(first_eq, mode='drop')
+    return sa, rank, gs
+
+
+def _segmented_kernel(data_padded: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """SA of ``data_padded[:n]`` as the tail of a length-N array (same
+    contract as ``_doubling_kernel``), via segmented doubling."""
+    N = data_padded.shape[0]
+    S = max(N // _SEG_DIV, 8)
+    sa0, rank0, gs0 = _init_round_anchored(data_padded, n)
+
+    def cond(state):
+        k, sa, rank, gs = state
+        return jnp.logical_and(k < N, jnp.any(_tied_flags(gs)))
+
+    def body(state):
+        k, sa, rank, gs = state
+        iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
+        tied = _tied_flags(gs)
+        m = jnp.sum(tied.astype(jnp.int32))
+
+        def seg_branch(sa, rank, gs):
+            dest = jnp.where(
+                tied, jnp.cumsum(tied.astype(jnp.int32)) - 1, S
+            )
+            buf_slot = (
+                jnp.full((S + 1,), N, jnp.int32)
+                .at[jnp.minimum(dest, S)].set(iota)[:S]
+            )
+            valid = buf_slot < N
+            bidx = lax.broadcasted_iota(jnp.int32, (S,), 0)
+            safe = jnp.minimum(buf_slot, N - 1)
+            pos = jnp.where(valid, jnp.take(sa, safe, axis=0), N)
+            g = jnp.where(valid, jnp.take(gs, safe, axis=0), N + bidx)
+            r2 = jnp.where(
+                pos + k < N,
+                jnp.take(rank, jnp.clip(pos + k, 0, N - 1), axis=0),
+                -1,
+            )
+            return _relabel_and_scatter(g, r2, pos, sa, rank, gs)
+
+        def full_branch(sa, rank, gs):
+            pos = sa
+            r2 = jnp.where(
+                pos + k < N,
+                jnp.take(rank, jnp.clip(pos + k, 0, N - 1), axis=0),
+                -1,
+            )
+            return _relabel_and_scatter(gs, r2, pos, sa, rank, gs)
+
+        sa, rank, gs = lax.cond(m <= S, seg_branch, full_branch, sa, rank, gs)
+        return k * 2, sa, rank, gs
+
+    _, sa, _, _ = lax.while_loop(cond, body, (jnp.int32(6), sa0, rank0, gs0))
+    return sa
+
+
+_segmented_whole_jit = jax.jit(_segmented_kernel, donate_argnums=(0,))
+
+
+def _int_doubling_kernel(vals_padded: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """Doubling kernel over pre-offset int32 ranks (real = value+1, pad 0).
+
+    Same padded-SA layout as ``_doubling_kernel``; starts at k=1 because the
+    initial ranks cover only one symbol.
+    """
+    N = vals_padded.shape[0]
+    rank, idx_s, num_ranks = _doubling_round(vals_padded, jnp.int32(1))
+
+    def cond(state):
+        k, _, _, num_ranks = state
+        return jnp.logical_and(k < N, num_ranks < N)
+
+    def body(state):
+        k, rank, _, _ = state
+        new_rank, idx_s, num_ranks = _doubling_round(rank, k)
+        return k * 2, new_rank, idx_s, num_ranks
+
+    _, _, sa_full, _ = lax.while_loop(
+        cond, body, (jnp.int32(2), rank, idx_s, num_ranks)
+    )
+    return sa_full
+
+
+_int_doubling_jit = jax.jit(_int_doubling_kernel, donate_argnums=(0,))
+
+
 
 
 def _pad_len(n: int) -> int:
@@ -181,6 +425,7 @@ def suffix_array_jax(
     data: np.ndarray,
     *,
     device: typing.Optional[jax.Device] = None,
+    algorithm: str = 'segmented',
 ) -> np.ndarray:
     """Build the SA on an XLA device and return it as host int32[n].
 
@@ -197,11 +442,14 @@ def suffix_array_jax(
     n = data.size
     if n == 0:
         return np.empty(0, dtype=np.int32)
+    if algorithm not in ('segmented', 'full'):
+        raise ValueError(f'unknown SA algorithm: {algorithm!r}')
     N = _pad_len(n)
     padded = np.zeros(N, dtype=np.uint8)
     padded[:n] = data
     x = jnp.asarray(padded) if device is None else jax.device_put(padded, device)
-    sa_full = _doubling_whole_jit(x, jnp.int32(n))
+    kernel = _segmented_whole_jit if algorithm == 'segmented' else _doubling_whole_jit
+    sa_full = kernel(x, jnp.int32(n))
     return np.asarray(sa_full[N - n:])
 
 

@@ -42,10 +42,33 @@ def test_numpy_matches_brute_force(data):
     np.testing.assert_array_equal(suffix_array_numpy(arr), brute_force_sa(data))
 
 
+@pytest.mark.parametrize('algorithm', ['segmented', 'full'])
 @pytest.mark.parametrize('data', CASES, ids=range(len(CASES)))
-def test_jax_matches_brute_force(data):
+def test_jax_matches_brute_force(data, algorithm):
     arr = np.frombuffer(data, dtype=np.uint8)
-    np.testing.assert_array_equal(suffix_array_jax(arr), brute_force_sa(data))
+    np.testing.assert_array_equal(
+        suffix_array_jax(arr, algorithm=algorithm), brute_force_sa(data)
+    )
+
+
+@pytest.mark.parametrize('case', [
+    'overflow-all-equal',   # every round overflows the tie buffer
+    'overflow-binary',      # dense ties, many rounds
+    'periodic',             # tie groups that halve each round
+    'sparse-ties',          # the segmented fast path
+])
+def test_segmented_stress(case):
+    rng = np.random.default_rng(42)
+    data = {
+        'overflow-all-equal': np.full(6000, 120, np.uint8),
+        'overflow-binary': rng.integers(97, 99, size=8191, dtype=np.uint8),
+        'periodic': np.frombuffer(b'abcab' * 1500, np.uint8),
+        'sparse-ties': rng.integers(0, 256, size=10000, dtype=np.uint8),
+    }[case]
+    np.testing.assert_array_equal(
+        suffix_array_jax(data, algorithm='segmented'),
+        suffix_array_numpy(data),
+    )
 
 
 @pytest.mark.parametrize('data', CASES, ids=range(len(CASES)))
