@@ -18,7 +18,12 @@ number for real TPU deployments that do not sit behind this tunnel.
 Extra metrics (build throughput, per-phase timings) go to stderr.
 
 Env knobs: BENCH_MB (corpus size, default 64), BENCH_QUERIES (default 10000),
-BENCH_CHUNK_MB (chunk size, default 16).
+BENCH_CHUNK_MB (chunk size, default 128 — one chunk for the default corpus,
+matching the reference's one-chunk-per-512MiB layout at this scale).
+
+Queries are random 4-12 byte substrings sampled at random corpus offsets
+(mostly unique — no dedup shortcut applies), patterned after the reference
+README's single-word probes but without vocabulary reuse.
 """
 
 import json
@@ -93,7 +98,7 @@ def main():
 
     mb = int(os.environ.get('BENCH_MB', '64'))
     nq = int(os.environ.get('BENCH_QUERIES', '10000'))
-    chunk_mb = int(os.environ.get('BENCH_CHUNK_MB', '16'))
+    chunk_mb = int(os.environ.get('BENCH_CHUNK_MB', '128'))
 
     corpus, words = make_corpus(mb)
     log(f'corpus: {len(corpus) / 1e6:.1f} MB')
@@ -130,7 +135,12 @@ def main():
     log(f'load: {time.time() - t0:.2f}s')
 
     rng = np.random.default_rng(1)
-    pats = [words[rng.integers(0, len(words))] for _ in range(nq)]
+    # Random 4-12 byte substrings at random offsets: realistic, mostly
+    # unique (so no caching/dedup shortcut can flatter the number).
+    offs = rng.integers(0, len(corpus) - 16, size=nq)
+    lens = rng.integers(4, 13, size=nq)
+    pats = [corpus[o : o + l].replace(b'\n', b'x') for o, l in zip(offs, lens)]
+    log(f'{nq} patterns, {len(set(pats))} unique')
     packed, lengths = pack_patterns(pats)
 
     # ---- timed probes via the slope method ----

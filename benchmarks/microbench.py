@@ -100,22 +100,58 @@ def bench_sort():
               f'-> {N / s / 1e6:.0f} M elem/s')
 
 
+def _bench_corpus(mb: int) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    n = mb << 20
+    words = rng.integers(97, 123, size=(1000, 6), dtype=np.uint8)
+    idx = rng.integers(0, 1000, size=n // 7 + 1)
+    return np.concatenate(
+        [np.concatenate([words[i], [10]]) for i in idx]
+    )[:n].astype(np.uint8)
+
+
 def bench_build():
     from pysubstringsearch_tpu.ops.suffix_array import suffix_array_jax
 
-    rng = np.random.default_rng(0)
     for mb in [16]:
-        n = mb << 20
-        words = rng.integers(97, 123, size=(1000, 6), dtype=np.uint8)
-        idx = rng.integers(0, 1000, size=n // 7 + 1)
-        data = np.concatenate(
-            [np.concatenate([words[i], [10]]) for i in idx]
-        )[:n].astype(np.uint8)
-        t0 = time.time()
-        sa = suffix_array_jax(data)
-        dt = time.time() - t0
-        print(f'build[{mb}MB wall, incl transfers]: {dt:.2f}s '
-              f'-> {mb / dt:.1f} MB/s   (sa[0]={sa[0]})')
+        data = _bench_corpus(mb)
+        for algorithm in ('full', 'segmented'):
+            t0 = time.time()
+            sa = suffix_array_jax(data, algorithm=algorithm)
+            dt = time.time() - t0
+            print(f'build[{mb}MB {algorithm}, wall incl transfers]: {dt:.2f}s '
+                  f'-> {mb / dt:.1f} MB/s   (sa[0]={sa[0]})')
+
+
+def bench_sa_device():
+    """Device-only SA kernel time via the slope method: full vs segmented."""
+    from pysubstringsearch_tpu.ops import suffix_array as SA
+
+    for mb in [16]:
+        data = _bench_corpus(mb)
+        n = data.size
+        N = SA._pad_len(n)
+        padded = np.zeros(N, np.uint8)
+        padded[:n] = data
+        x = jnp.asarray(padded)
+
+        for name, kernel in (
+            ('full', SA._doubling_kernel),
+            ('segmented', SA._segmented_kernel),
+        ):
+            def make(k, kernel=kernel):
+                def f(xx):
+                    acc = jnp.int32(0)
+                    for i in range(k):
+                        # vary n slightly to defeat CSE across reps
+                        sa_full = kernel(xx, jnp.int32(n - i))
+                        acc = acc + sa_full[-1] + sa_full[0]
+                    return acc
+                return jax.jit(f)
+
+            s = slope_time(make, (x,), ks=(1, 3))
+            print(f'sa-device[{mb}MB {name}]: {s * 1e3:.1f} ms '
+                  f'-> {mb / s:.0f} MB/s')
 
 
 if __name__ == '__main__':
@@ -127,3 +163,5 @@ if __name__ == '__main__':
         bench_sort()
     if which in ('build', 'all'):
         bench_build()
+    if which in ('sa', 'all'):
+        bench_sa_device()

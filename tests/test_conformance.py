@@ -231,3 +231,13 @@ class TestSearchMultiple:
         patterns = [f'line-{i:04d}' for i in range(100)]
         got = reader.search_multiple(patterns)
         assert collections.Counter(got) == collections.Counter(entries)
+
+    def test_repeated_patterns_probed_once_results_duplicated(self, tmp_path):
+        # Reference parity: a repeated pattern repeats its results verbatim
+        # (pysubstringsearch/__init__.py:61-73); the batch path dedups the
+        # probe internally but must fan results back out per occurrence.
+        reader = roundtrip(tmp_path, ['alpha', 'beta', 'alphabet'])
+        got = reader.search_multiple(['alpha', 'beta', 'alpha', 'alpha'])
+        assert collections.Counter(got) == collections.Counter(
+            ['alpha', 'alphabet'] * 3 + ['beta']
+        )

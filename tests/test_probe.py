@@ -114,3 +114,64 @@ def test_plain_and_bucketed_match_brute_force(ci):
     )
     np.testing.assert_array_equal(np.asarray(cnt_d), expected)
     np.testing.assert_array_equal(np.asarray(lo_d), np.asarray(lo_p))
+
+
+def test_depth3_bucket_table_probe():
+    """The 3-byte bucket table (used for large chunks) must seed both probe
+    paths to the same results as the 2-byte table, including patterns
+    shorter than the bucket depth (their pad digits hit empty buckets whose
+    boundaries collapse to the exact answer)."""
+    data = CORPORA[1] + b'\x00\xff' + CORPORA[0]
+    text, n, sa = device_args(data)
+    pats = sample_patterns(data, 9) + [b'a', b'\x00', b'ba', b'']
+    packed, lengths = pack_patterns(pats)
+    expected = brute_counts(data, pats)
+    table3 = build_bucket_table_host(
+        np.frombuffer(data, dtype=np.uint8), np.asarray(sa)[: len(data)], 3
+    )
+    dev3 = build_bucket_table(text, n, sa, 3)
+    np.testing.assert_array_equal(np.asarray(dev3), table3)
+    lo_b, cnt_b = probe_bounds_bucketed(
+        text, n, sa, jnp.asarray(table3), jnp.asarray(packed),
+        jnp.asarray(lengths)
+    )
+    np.testing.assert_array_equal(np.asarray(cnt_b), expected)
+    limbs = build_limbs_host(
+        np.frombuffer(data, dtype=np.uint8), np.asarray(sa)[: len(data)]
+    )
+    limbs_pad = np.zeros(text.shape[0] * KEY_LIMBS, dtype=np.int32)
+    limbs_pad[: limbs.size] = limbs.reshape(-1)
+    deep = 36 if packed.shape[1] > key_cover_bytes() else 0
+    lo_l, cnt_l = probe_bounds_limbs(
+        text, n, sa, jnp.asarray(table3), jnp.asarray(limbs_pad),
+        jnp.asarray(packed), jnp.asarray(lengths), 36, deep,
+    )
+    np.testing.assert_array_equal(np.asarray(cnt_l), expected)
+    np.testing.assert_array_equal(np.asarray(lo_l), np.asarray(lo_b))
+
+
+@pytest.mark.parametrize('width', [8, 11, 14, 17])
+def test_limb_probe_truncated_gather_widths(width):
+    """Each packed pattern width L maps to a static k_used = ceil((L-2)/3);
+    sweep the exact boundaries so every truncation level is exercised."""
+    data = CORPORA[1]
+    text, n, sa = device_args(data)
+    rng = np.random.default_rng(width)
+    pats = []
+    for _ in range(24):
+        i = int(rng.integers(0, len(data) - width))
+        pats.append(data[i : i + int(rng.integers(1, width + 1))])
+    packed, lengths = pack_patterns(pats, max_len=width)
+    assert packed.shape[1] == width
+    expected = brute_counts(data, pats)
+    table = build_bucket_table(text, n, sa)
+    limbs = build_limbs_host(
+        np.frombuffer(data, dtype=np.uint8), np.asarray(sa)[: len(data)]
+    )
+    limbs_pad = np.zeros(text.shape[0] * KEY_LIMBS, dtype=np.int32)
+    limbs_pad[: limbs.size] = limbs.reshape(-1)
+    lo, cnt = probe_bounds_limbs(
+        text, n, sa, table, jnp.asarray(limbs_pad),
+        jnp.asarray(packed), jnp.asarray(lengths), 36, 0,
+    )
+    np.testing.assert_array_equal(np.asarray(cnt), expected)
