@@ -164,9 +164,22 @@ class Writer:
 
 class Reader:
     def __init__(self, index_file_path: str) -> None:
-        self._chunks = container.read_chunks(index_file_path)
+        self._init_from_chunks(container.read_chunks(index_file_path))
+
+    def _init_from_chunks(
+        self, chunks: typing.List[container.Chunk]
+    ) -> None:
+        self._chunks = chunks
         self._tables = [LineTable(c.data) for c in self._chunks]
         self._device_index: typing.Optional[DeviceIndex] = None
+
+    @classmethod
+    def from_chunks(cls, chunks: typing.List[container.Chunk]) -> 'Reader':
+        """Reader over already-parsed chunks (e.g. a sharded-manifest load,
+        parallel/manifest.py)."""
+        reader = cls.__new__(cls)
+        reader._init_from_chunks(chunks)
+        return reader
 
     @property
     def _index(self) -> DeviceIndex:

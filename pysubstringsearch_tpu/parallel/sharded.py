@@ -87,6 +87,31 @@ def make_sharded_probe(mesh, gather: bool = True):
     return jax.jit(fn)
 
 
+def make_giant_chunk_build(mesh):
+    """SA build of ONE chunk sharded across every chip of the mesh.
+
+    The intra-chunk analog of sequence parallelism (SURVEY.md §5.7): the
+    text array [N_pad] is split over the mesh axis and the whole doubling
+    kernel runs as a GSPMD program — XLA partitions each ``lax.sort`` into a
+    distributed sort (the all-to-all of this domain) and the rolls/scatters
+    into ppermute/collective ops over ICI.  Use when a single chunk's build
+    working set (~12 bytes/char transient) exceeds one chip's HBM — e.g. the
+    reference-default 512 MiB chunks (int32 limit, libsais.c:38-44) on v5e.
+
+    Returns a jitted ``(text_padded [N], n) -> sa_full [N]`` with sharded
+    input/output; callers slice ``[N-n:]`` for the real entries (same
+    contract as ops.suffix_array._doubling_kernel).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P(CHUNK_AXIS))
+    return jax.jit(
+        _doubling_kernel,
+        in_shardings=(shard, NamedSharding(mesh, P())),
+        out_shardings=shard,
+    )
+
+
 def make_full_step(mesh):
     """The framework's "training step": build SAs for all sharded chunks and
     immediately answer a query batch, with hit counts psum-reduced across the

@@ -72,6 +72,21 @@ def test_sharded_probe_matches_host(eight_device_mesh):
             assert out[i, b, 1] == expected, (i, pat, out[i, b])
 
 
+def test_giant_chunk_build_sharded(eight_device_mesh):
+    # One chunk's SA built across all 8 devices (intra-chunk sharding: the
+    # text array is split over the mesh and lax.sort runs distributed).
+    from pysubstringsearch_tpu.ops.suffix_array import suffix_array_numpy
+
+    rng = np.random.default_rng(7)
+    n, N = 5000, 8192
+    data = rng.integers(97, 105, size=n, dtype=np.uint8)
+    padded = np.zeros(N, np.uint8)
+    padded[:n] = data
+    build = sharded.make_giant_chunk_build(eight_device_mesh)
+    sa_full = np.asarray(build(padded, np.int32(n)))
+    np.testing.assert_array_equal(sa_full[N - n :], suffix_array_numpy(data))
+
+
 def test_full_step_counts(eight_device_mesh):
     raw = make_corpus_chunks(16, seed=2)  # 2 chunks per device
     text, n = stack_chunks(raw)
