@@ -40,6 +40,7 @@ from . import container
 from .models.index import DeviceIndex
 from .ops import search as search_ops
 from .ops.extract import LineTable
+from .utils.profiling import PhaseProfiler
 from .ops.suffix_array import build_suffix_array
 
 
@@ -62,10 +63,12 @@ class Writer:
         *,
         sa_backend: str = 'auto',
         build_workers: typing.Optional[int] = None,
+        profiler: typing.Optional['PhaseProfiler'] = None,
     ) -> None:
         self._file: typing.Optional[typing.BinaryIO] = open(index_file_path, 'wb')
         self._buffer = container.ChunkBuffer(max_chunk_len)
         self._sa_backend = sa_backend
+        self._prof = profiler if profiler is not None else PhaseProfiler()
         if build_workers is None:
             build_workers = min(8, os.cpu_count() or 1)
         self._build_workers = build_workers
@@ -96,6 +99,14 @@ class Writer:
             self.dump_data()
         self._buffer.append(data)
 
+    @property
+    def profiler(self) -> PhaseProfiler:
+        """Per-phase build timings (SURVEY.md §5.5 — the observability the
+        reference never had).  Phases: ``sa-build`` (per chunk; summed
+        across worker threads, so it can exceed wall time) and ``serialize``.
+        """
+        return self._prof
+
     def _drain(self, block: bool) -> None:
         """Write completed head-of-queue chunks; with ``block``, all of them."""
         assert self._file is not None
@@ -106,8 +117,13 @@ class Writer:
                 if len(self._pending) <= 2 * max(1, self._build_workers):
                     return
             suffix_array = head_future.result()
-            container.write_chunk(self._file, head_data, suffix_array)
+            with self._prof.phase('serialize'):
+                container.write_chunk(self._file, head_data, suffix_array)
             self._pending.popleft()
+
+    def _build_sa(self, data: np.ndarray) -> np.ndarray:
+        with self._prof.phase('sa-build'):
+            return build_suffix_array(data, backend=self._sa_backend)
 
     def dump_data(self) -> None:
         if len(self._buffer) == 0:
@@ -115,17 +131,16 @@ class Writer:
         assert self._file is not None, 'Writer is closed'
         data = self._buffer.take()
         if self._build_workers <= 0:
-            suffix_array = build_suffix_array(data, backend=self._sa_backend)
-            container.write_chunk(self._file, data, suffix_array)
+            suffix_array = self._build_sa(data)
+            with self._prof.phase('serialize'):
+                container.write_chunk(self._file, data, suffix_array)
             return
         if self._executor is None:
             self._executor = ThreadPoolExecutor(
                 max_workers=self._build_workers,
                 thread_name_prefix='tpuss-sa-build',
             )
-        future = self._executor.submit(
-            build_suffix_array, data, backend=self._sa_backend
-        )
+        future = self._executor.submit(self._build_sa, data)
         self._pending.append((data, future))
         self._drain(block=False)
 
@@ -164,14 +179,27 @@ class Writer:
 
 class Reader:
     def __init__(self, index_file_path: str) -> None:
-        self._init_from_chunks(container.read_chunks(index_file_path))
+        prof = PhaseProfiler()
+        with prof.phase('load-container'):
+            chunks = container.read_chunks(index_file_path)
+        self._init_from_chunks(chunks, prof)
 
     def _init_from_chunks(
-        self, chunks: typing.List[container.Chunk]
+        self,
+        chunks: typing.List[container.Chunk],
+        prof: typing.Optional[PhaseProfiler] = None,
     ) -> None:
         self._chunks = chunks
-        self._tables = [LineTable(c.data) for c in self._chunks]
+        self._prof = prof if prof is not None else PhaseProfiler()
+        with self._prof.phase('line-tables'):
+            self._tables = [LineTable(c.data) for c in self._chunks]
         self._device_index: typing.Optional[DeviceIndex] = None
+
+    @property
+    def profiler(self) -> PhaseProfiler:
+        """Per-phase query-side timings: ``load-container``, ``line-tables``,
+        ``device-load`` (tables/limbs build + H2D), ``probe``, ``extract``."""
+        return self._prof
 
     @classmethod
     def from_chunks(cls, chunks: typing.List[container.Chunk]) -> 'Reader':
@@ -184,7 +212,8 @@ class Reader:
     @property
     def _index(self) -> DeviceIndex:
         if self._device_index is None:
-            self._device_index = DeviceIndex(self._chunks)
+            with self._prof.phase('device-load'):
+                self._device_index = DeviceIndex(self._chunks)
         return self._device_index
 
     def _search_batch(self, patterns: typing.List[bytes]) -> typing.List[typing.List[str]]:
@@ -218,18 +247,22 @@ class Reader:
                     )
         else:
             packed, lengths = search_ops.pack_patterns(patterns)
-            lo, cnt = self._index.probe(packed, lengths)
+            with self._prof.phase('probe'):
+                lo, cnt = self._index.probe(packed, lengths)
         out: typing.List[typing.List[str]] = []
-        for b in range(len(patterns)):
-            results: typing.List[str] = []
-            for c, chunk in enumerate(self._chunks):
-                count = int(cnt[c, b])
-                if count <= 0:
-                    continue
-                start = int(lo[c, b])
-                positions = chunk.suffix_array[start : start + count]
-                results.extend(self._tables[c].extract_unique_lines(positions))
-            out.append(results)
+        with self._prof.phase('extract'):
+            for b in range(len(patterns)):
+                results: typing.List[str] = []
+                for c, chunk in enumerate(self._chunks):
+                    count = int(cnt[c, b])
+                    if count <= 0:
+                        continue
+                    start = int(lo[c, b])
+                    positions = chunk.suffix_array[start : start + count]
+                    results.extend(
+                        self._tables[c].extract_unique_lines(positions)
+                    )
+                out.append(results)
         return out
 
     def search(self, substring: str) -> typing.List[str]:

@@ -60,12 +60,15 @@ class ShardedReader:
         self.sa = jax.device_put(sa, shard)
         self.lengths = jax.device_put(n, shard)
         # Host-built tables: the load path stays H2D-only (see models/index.py).
+        from ..models.index import DeviceIndex
+
+        depth = 3 if max_n >= DeviceIndex.DEEP_TABLE_MIN_CHUNK else 2
         host_tables = np.zeros(
-            (C, search_ops.BUCKET_TABLE_SIZE), dtype=np.int32
+            (C, search_ops._RADIX ** depth + 1), dtype=np.int32
         )
         for i, c in enumerate(self._chunks):
             host_tables[i] = search_ops.build_bucket_table_host(
-                c.data, c.suffix_array
+                c.data, c.suffix_array, depth
             )
         self.tables = jax.device_put(host_tables, shard)
         widths = np.diff(host_tables, axis=1).max(axis=1, initial=0)
@@ -97,6 +100,13 @@ class ShardedReader:
     def _search_batch(self, patterns: typing.List[bytes]):
         if not patterns or not self._chunks:
             return [[] for _ in patterns]
+        # Duplicate patterns are probed once (see api.Reader._search_batch).
+        uniq: typing.Dict[bytes, int] = {}
+        for p in patterns:
+            uniq.setdefault(p, len(uniq))
+        if len(uniq) < len(patterns):
+            uniq_results = self._search_batch(list(uniq))
+            return [uniq_results[uniq[p]] for p in patterns]
         if max(len(p) for p in patterns) > search_ops.PAD_MARGIN:
             out = []
             for pat in patterns:
