@@ -32,7 +32,22 @@ import numpy as np
 
 from .suffix_array import build_suffix_array
 
-__all__ = ['bwt', 'unbwt', 'bwt_from_sa', 'bwt_from_sa_device']
+__all__ = [
+    'bwt',
+    'unbwt',
+    'bwt_aux',
+    'unbwt_aux',
+    'bwt_from_sa',
+    'bwt_from_sa_device',
+    'byte_frequencies',
+]
+
+
+def byte_frequencies(data: np.ndarray) -> np.ndarray:
+    """int32[256] symbol histogram — the ``freq`` output every libsais entry
+    point optionally fills (reference src/libsais/libsais.h:46-49)."""
+    data = np.asarray(data, dtype=np.uint8)
+    return np.bincount(data, minlength=256).astype(np.int32)
 
 
 def bwt_from_sa(data: np.ndarray, suffix_array: np.ndarray) -> typing.Tuple[np.ndarray, int]:
@@ -76,6 +91,96 @@ def bwt(data: np.ndarray, backend: str = 'auto') -> typing.Tuple[np.ndarray, int
     if data.size <= 1:
         return bwt_from_sa(data, np.empty(data.size, dtype=np.int32))
     return bwt_from_sa(data, build_suffix_array(data, backend=backend))
+
+
+def bwt_aux(
+    data: np.ndarray, r: int, backend: str = 'auto'
+) -> typing.Tuple[np.ndarray, np.ndarray]:
+    """BWT with sampled auxiliary indexes — ``libsais_bwt_aux`` parity
+    (reference src/libsais/libsais.c:6667-6691).
+
+    Returns ``(U, I)`` where ``U`` is the same transform as :func:`bwt` and
+    ``I[j] = 1 + (SA slot of the suffix starting at position j*r)`` for
+    ``j = 0 .. (n-1)//r`` (the reference records exactly these during its
+    final induction sweeps, libsais.c:4555-4561, 5181-5190; ``I[0]`` is the
+    primary index).  ``r`` must be a power of two >= 2 (libsais.c:6669).
+
+    The point of the samples is a *parallel* inverse: each ``I[j]`` seeds an
+    independent LF walk covering ``r`` output bytes (see :func:`unbwt_aux`) —
+    the reference uses them for its OpenMP unbwt; here they make the inverse
+    a vectorized multi-lane walk.
+    """
+    if r < 2 or (r & (r - 1)) != 0:
+        raise ValueError('r must be a power of two >= 2')
+    data = np.asarray(data, dtype=np.uint8)
+    n = data.size
+    if n <= 1:
+        return data.copy(), np.array([n], dtype=np.int32)
+    sa = build_suffix_array(data, backend=backend)
+    u, _ = bwt_from_sa(data, sa)
+    # slot_of[p] = SA slot holding text position p (inverse permutation).
+    sampled = np.arange(0, n, r, dtype=np.int64)
+    slot_of = np.empty(n, dtype=np.int64)
+    slot_of[sa.astype(np.int64)] = np.arange(n, dtype=np.int64)
+    return u, (slot_of[sampled] + 1).astype(np.int32)
+
+
+def unbwt_aux(u: np.ndarray, r: int, I: np.ndarray) -> np.ndarray:
+    """Inverse BWT from sampled indexes — ``libsais_unbwt_aux`` parity
+    (reference src/libsais/libsais.c:7571-7587).
+
+    The samples split the output into ``ceil(n/r)`` blocks, each recovered by
+    an independent LF walk of at most ``r`` steps; the walks advance together
+    as numpy lanes (the data-parallel analog of the reference's OpenMP
+    per-block unbwt, libsais.c:7245-7504).  ``r == n`` with a single index
+    degenerates to the plain :func:`unbwt` (libsais.c:7561-7564).
+    """
+    u = np.asarray(u, dtype=np.uint8)
+    n = u.size
+    I = np.asarray(I, dtype=np.int64)
+    if r != n and (r < 2 or (r & (r - 1)) != 0):
+        raise ValueError('r must be a power of two >= 2 (or r == n)')
+    if n <= 1:
+        if I.size == 0 or I[0] != n:
+            raise ValueError('inconsistent auxiliary indexes')
+        return u.copy()
+    nb_idx = (n - 1) // r + 1
+    if I.size < nb_idx:
+        raise ValueError('not enough auxiliary indexes')
+    if np.any(I[:nb_idx] <= 0) or np.any(I[:nb_idx] > n):
+        raise ValueError('auxiliary index out of range')
+    primary_index = int(I[0])
+    lf = _lf_mapping(u)
+    # Block j emits out[(j+1)*r - 1 .. j*r] (clipped to n) walking backward
+    # from the rotation row of the suffix starting at its end boundary:
+    # row I[j+1] for interior blocks, row 0 (the sentinel row '$T...') for
+    # the block ending at n.
+    nb = nb_idx
+    ends = np.minimum((np.arange(nb, dtype=np.int64) + 1) * r, n)
+    p = np.zeros(nb, dtype=np.int64)
+    interior = ends < n
+    p[interior] = I[(ends[interior] // r)]
+    sizes = ends - np.arange(nb, dtype=np.int64) * r
+    out = np.empty(n, dtype=np.uint8)
+    max_steps = int(sizes.max())
+    active_lanes = np.arange(nb, dtype=np.int64)
+    for s in range(max_steps):
+        mask = s < sizes
+        lanes = active_lanes[mask]
+        m = p[lanes]
+        m = np.where(m < primary_index, m, m - 1)
+        out[ends[lanes] - 1 - s] = u[m]
+        p[lanes] = lf[m]
+    return out
+
+
+def _lf_mapping(u: np.ndarray) -> np.ndarray:
+    """LF map over U-indices (sentinel row excluded); see _unbwt_numpy."""
+    counts = np.bincount(u, minlength=256).astype(np.int64)
+    starts = np.zeros(256, dtype=np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    starts += 1
+    return starts[u] + _stable_rank(u)
 
 
 def _unbwt_numpy(u: np.ndarray, primary_index: int) -> np.ndarray:

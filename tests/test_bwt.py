@@ -10,9 +10,12 @@ import pytest
 from pysubstringsearch_tpu.ops import native
 from pysubstringsearch_tpu.ops.bwt import (
     bwt,
+    bwt_aux,
     bwt_from_sa,
     bwt_from_sa_device,
+    byte_frequencies,
     unbwt,
+    unbwt_aux,
     _unbwt_numpy,
 )
 from pysubstringsearch_tpu.ops.suffix_array import (
@@ -122,3 +125,67 @@ def test_suffix_array_int_validation():
     with pytest.raises(ValueError):
         suffix_array_int(np.array([5], dtype=np.int32), k=5)
     assert suffix_array_int(np.empty(0, dtype=np.int32)).size == 0
+
+
+def test_bwt_aux_indexes_match_sa_slots():
+    """I[j] = 1 + SA slot of suffix j*r (reference libsais.c:4555, 5181)."""
+    rng = np.random.default_rng(13)
+    arr = rng.integers(97, 105, size=1000, dtype=np.uint8)
+    sa = suffix_array_numpy(arr)
+    slot_of = np.empty(arr.size, dtype=np.int64)
+    slot_of[sa] = np.arange(arr.size)
+    for r in (2, 16, 256, 1024):
+        u, I = bwt_aux(arr, r)
+        u_ref, p_ref = bwt(arr)
+        assert np.array_equal(u, u_ref)
+        assert I.size == (arr.size - 1) // r + 1
+        assert int(I[0]) == p_ref
+        expect = slot_of[np.arange(0, arr.size, r)] + 1
+        assert np.array_equal(I.astype(np.int64), expect)
+
+
+@pytest.mark.parametrize('data', CASES, ids=range(len(CASES)))
+def test_bwt_aux_round_trip(data):
+    arr = np.frombuffer(data, dtype=np.uint8)
+    for r in (2, 8, 64):
+        u, I = bwt_aux(arr, r)
+        assert bytes(unbwt_aux(u, r, I)) == data
+
+
+def test_unbwt_aux_r_equals_n_is_plain_unbwt():
+    """libsais_unbwt delegates to unbwt_aux with r=n (libsais.c:7561-7564)."""
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 256, size=4096, dtype=np.uint8)
+    u, p = bwt(arr)
+    out = unbwt_aux(u, arr.size, np.array([p], dtype=np.int32))
+    assert np.array_equal(out, arr)
+
+
+def test_bwt_aux_validation():
+    arr = np.frombuffer(b'banana', dtype=np.uint8)
+    with pytest.raises(ValueError):
+        bwt_aux(arr, 3)  # not a power of two (libsais.c:6669)
+    with pytest.raises(ValueError):
+        bwt_aux(arr, 1)
+    u, I = bwt_aux(arr, 2)
+    with pytest.raises(ValueError):
+        unbwt_aux(u, 2, I[:1])  # too few indexes
+    bad = I.copy()
+    bad[1] = 0
+    with pytest.raises(ValueError):
+        unbwt_aux(u, 2, bad)  # out of range (libsais.c:7584)
+    with pytest.raises(ValueError):
+        unbwt_aux(u, 3, I)
+    # n <= 1 degenerate forms: I[0] must equal n (libsais.c:7577-7580).
+    one = np.frombuffer(b'z', dtype=np.uint8)
+    u1, I1 = bwt_aux(one, 2)
+    assert I1.tolist() == [1]
+    assert bytes(unbwt_aux(u1, 2, I1)) == b'z'
+    with pytest.raises(ValueError):
+        unbwt_aux(u1, 2, np.array([0], dtype=np.int32))
+
+
+def test_byte_frequencies():
+    arr = np.frombuffer(b'abracadabra', dtype=np.uint8)
+    f = byte_frequencies(arr)
+    assert f.sum() == arr.size and f[ord('a')] == 5 and f[ord('r')] == 2
