@@ -37,8 +37,10 @@ void bucket_bounds(const i32* cnt, i32* bkt, i32 K, bool end) {
 }
 
 // The two canonical induction sweeps: L-types left-to-right from bucket
-// heads, then S-types right-to-left from bucket tails.
-void induce(const i32* s, i32* sa, const std::vector<bool>& is_s,
+// heads, then S-types right-to-left from bucket tails.  is_s is a byte
+// array, not vector<bool> — these are the two hottest loops of the whole
+// build and the bit extraction on every is_s[j-1] read costs ~2x.
+void induce(const i32* s, i32* sa, const uint8_t* is_s,
             const std::vector<i32>& cnt, std::vector<i32>& bkt, i32 n,
             i32 K) {
   bucket_bounds(cnt.data(), bkt.data(), K, false);
@@ -61,8 +63,9 @@ void sais_rec(const i32* s, i32* sa, i32 n, i32 K) {
     return;
   }
 
-  std::vector<bool> is_s(n);
-  is_s[n - 1] = true;
+  std::vector<uint8_t> is_s_v(n);
+  uint8_t* is_s = is_s_v.data();
+  is_s[n - 1] = 1;
   for (i32 i = n - 2; i >= 0; --i)
     is_s[i] = s[i] < s[i + 1] || (s[i] == s[i + 1] && is_s[i + 1]);
   auto is_lms = [&](i32 i) { return i > 0 && is_s[i] && !is_s[i - 1]; };

@@ -33,16 +33,43 @@ class DeviceIndex:
     layered on top by pysubstringsearch_tpu.parallel)."""
 
     #: Chunks at least this large get the 3-byte bucket table (69 MB int32;
-    #: ~8 fewer bisection steps) — below it the 2-byte table (260 KB) wins.
-    DEEP_TABLE_MIN_CHUNK = 24 << 20
+    #: ~8 fewer bisection steps, and fewer steps also means a much smaller
+    #: unrolled probe program — compiles through this environment's remote
+    #: tunnel cost minutes per program) — below it the 2-byte table (260 KB)
+    #: wins.
+    DEEP_TABLE_MIN_CHUNK = 8 << 20
 
     def __init__(
         self,
         chunks: typing.Sequence[Chunk],
         *,
         num_limbs: typing.Optional[int] = None,
+        mode: str = 'auto',
     ) -> None:
+        """``mode`` selects how the device-resident arrays come to exist:
+
+        - ``'upload'``: host builds limbs + bucket tables from the container's
+          SA and transfers everything (text, SA, limbs, tables) to HBM.  Right
+          when the host<->device link is fast (co-located TPU: PCIe) or the
+          backend IS the host (CPU), where "transfer" is free.
+        - ``'derive'``: transfer the TEXT ONLY (1 byte/char vs ~4+4*num_limbs)
+          and rebuild SA, limbs, and tables on device in one fused jitted
+          program per chunk (ops/search.py derive_chunk_jit).  The SA of a
+          string is unique, so the derived SA is byte-identical to the
+          container's.  Right when the link is slow (this environment's
+          remote-attach tunnel measures H2D ~5-12 MB/s, D2H ~1-5 MB/s — a
+          67 MB chunk's limbs alone would take minutes to upload).
+        - ``'auto'``: derive on accelerator backends, upload on CPU.
+        """
         self.num_chunks = len(chunks)
+        if mode == 'auto':
+            mode = 'upload' if jax.default_backend() == 'cpu' else 'derive'
+        if mode not in ('upload', 'derive'):
+            raise ValueError(f'unknown DeviceIndex mode: {mode!r}')
+        self.mode = mode
+        self.num_limbs = (
+            search_ops.KEY_LIMBS if num_limbs is None else num_limbs
+        )
         if self.num_chunks == 0:
             self.n_pad = 8
             self.text = jnp.zeros((0, 8), jnp.uint8)
@@ -55,22 +82,23 @@ class DeviceIndex:
         max_n = max(c.data.size for c in chunks)
         # Margin so suffix windows up to PAD_MARGIN bytes never clamp.
         n_pad = _pad_len(max_n + search_ops.PAD_MARGIN)
+        self.n_pad = n_pad
+        n = np.array([c.data.size for c in chunks], dtype=np.int32)
+        self.lengths = jnp.asarray(n)
+        depth = 3 if max_n >= self.DEEP_TABLE_MIN_CHUNK else 2
+        if mode == 'derive':
+            self._init_derive(chunks, n_pad, depth)
+        else:
+            self._init_upload(chunks, n_pad, depth)
+
+    def _init_upload(self, chunks, n_pad, depth):
         text = np.zeros((self.num_chunks, n_pad), dtype=np.uint8)
         sa = np.zeros((self.num_chunks, n_pad), dtype=np.int32)
-        n = np.zeros((self.num_chunks,), dtype=np.int32)
         for i, c in enumerate(chunks):
             text[i, : c.data.size] = c.data
             sa[i, : c.suffix_array.size] = c.suffix_array
-            n[i] = c.data.size
-        self.n_pad = n_pad
         self.text = jnp.asarray(text)
         self.sa = jnp.asarray(sa)
-        self.lengths = jnp.asarray(n)
-        # Tables and packed prefix keys are built on the host: zero device
-        # round trips at load time (the first D2H readback degrades all later
-        # dispatches in this environment's remote runtime — keep the load
-        # path H2D-only).
-        depth = 3 if max_n >= self.DEEP_TABLE_MIN_CHUNK else 2
         host_tables = np.stack([
             search_ops.build_bucket_table_host(c.data, c.suffix_array, depth)
             for c in chunks
@@ -79,9 +107,6 @@ class DeviceIndex:
         # Widest bucket across chunks fixes the static bisection depth.
         widths = np.diff(host_tables, axis=1).max(axis=1)
         self.probe_steps = search_ops.steps_for_width(int(widths.max()))
-        self.num_limbs = (
-            search_ops.KEY_LIMBS if num_limbs is None else num_limbs
-        )
         limbs = np.zeros(
             (self.num_chunks, n_pad * self.num_limbs), dtype=np.int32
         )
@@ -91,6 +116,27 @@ class DeviceIndex:
             )
             limbs[i, : k.size] = k.reshape(-1)
         self.limbs = jnp.asarray(limbs)
+
+    def _init_derive(self, chunks, n_pad, depth):
+        derive = search_ops.derive_chunk_jit(self.num_limbs, depth)
+        texts, sas, limbs, tables, widths = [], [], [], [], []
+        for c in chunks:
+            row = np.zeros((n_pad,), dtype=np.uint8)
+            row[: c.data.size] = c.data
+            t = jnp.asarray(row)
+            sa, lb, tb, w = derive(t, jnp.int32(c.data.size))
+            texts.append(t)
+            sas.append(sa)
+            limbs.append(lb)
+            tables.append(tb)
+            widths.append(w)
+        self.text = jnp.stack(texts)
+        self.sa = jnp.stack(sas)
+        self.limbs = jnp.stack(limbs)
+        self.tables = jnp.stack(tables)
+        # No width readback: the loop-form probe (limbs_loop_batch_jit)
+        # converges on device, so the derive load path is fully readback-free.
+        self.probe_steps = None
 
     def probe_device(
         self,
@@ -105,14 +151,8 @@ class DeviceIndex:
         """
         # deep refinement only when the batch has patterns beyond the packed
         # key coverage — a static (host-known) decision per pattern width.
-        deep = (
-            self.probe_steps
-            if patterns.shape[1] > search_ops.key_cover_bytes(self.num_limbs)
-            else 0
-        )
-        probe = search_ops.limbs_batch_jit(
-            self.probe_steps, deep, self.num_limbs
-        )
+        deep = patterns.shape[1] > search_ops.key_cover_bytes(self.num_limbs)
+        probe = search_ops.limbs_loop_batch_jit(deep, self.num_limbs)
         return probe(
             self.text, self.lengths, self.sa, self.tables, self.limbs,
             jnp.asarray(patterns), jnp.asarray(lengths),

@@ -353,6 +353,85 @@ def probe_bounds_limbs(text, n, sa, table, limbs_flat, patterns, lengths,
     return lower, lo[B:] - lower
 
 
+def probe_bounds_limbs_loop(text, n, sa, table, limbs_flat, patterns,
+                            lengths, deep: bool = False,
+                            num_limbs: int = KEY_LIMBS):
+    """Loop-form production probe: bucket-seeded bisection over packed limb
+    keys inside a ``lax.while_loop`` with on-device early exit.
+
+    Same math as :func:`probe_bounds_limbs`, different compilation shape.
+    The unrolled form specializes on the step count — every distinct bucket
+    width compiles a fresh program, and through this environment's remote
+    tunnel a 16-step unrolled probe costs 5+ MINUTES to compile.  The loop
+    form is one small program for every width, converges in exactly the
+    steps the widest seeded range needs (the while_loop exits when every
+    lane's range is empty), and needs no width measurement at load time —
+    the derive path can stay readback-free.
+
+    ``deep`` (static) appends a second while_loop bisecting raw text windows
+    inside the key-resolved range, for patterns longer than
+    ``key_cover_bytes(num_limbs)``.
+    """
+    n = jnp.asarray(n, jnp.int32)
+    both, both_len, thresholds = _duplex(patterns, lengths)
+    B = patterns.shape[0]
+    L = patterns.shape[1]
+    k_used = max(1, min(num_limbs, -(-(L - 2) // 3)))
+    bucket, tgt = _pattern_limb_targets(
+        jnp.concatenate([patterns, patterns], axis=0).astype(jnp.uint8),
+        both_len, thresholds, k_used,
+        bucket_depth=_bucket_depth(table.shape[0]),
+    )
+    lo0 = jnp.take(table, bucket, axis=0)
+    hi0 = jnp.take(table, bucket + 1, axis=0)
+
+    def cond(state):
+        lo, hi = state
+        return jnp.any(lo < hi)
+
+    def body(state):
+        lo, hi = state
+        mid = (lo + hi) // 2
+        cmp = _limb_cmp3(limbs_flat, mid, tgt, num_limbs, k_used)
+        pred = cmp >= thresholds
+        active = lo < hi
+        hi = jnp.where(jnp.logical_and(active, pred), mid, hi)
+        lo = jnp.where(jnp.logical_and(active, ~pred), mid + 1, lo)
+        return lo, hi
+
+    lo, _ = lax.while_loop(cond, body, (lo0, hi0))
+    if deep:
+        l0 = jnp.concatenate([lo[:B], lo[:B]], axis=0)
+        h0 = jnp.concatenate([lo[B:], lo[B:]], axis=0)
+
+        def body2(state):
+            lo, hi = state
+            mid = (lo + hi) // 2
+            cmp = _cmp3(text, n, sa, mid, both, both_len)
+            pred = cmp >= thresholds
+            active = lo < hi
+            hi = jnp.where(jnp.logical_and(active, pred), mid, hi)
+            lo = jnp.where(jnp.logical_and(active, ~pred), mid + 1, lo)
+            return lo, hi
+
+        lo, _ = lax.while_loop(cond, body2, (l0, h0))
+    lower = lo[:B]
+    return lower, lo[B:] - lower
+
+
+@functools.lru_cache(maxsize=None)
+def limbs_loop_batch_jit(deep: bool, num_limbs: int):
+    """Jitted chunk-vmapped loop probe — one compiled program per
+    (deep?, num_limbs), independent of corpus statistics."""
+
+    def f(text, n, sa, table, limbs, patterns, lengths):
+        return probe_bounds_limbs_loop(
+            text, n, sa, table, limbs, patterns, lengths, deep, num_limbs
+        )
+
+    return jax.jit(jax.vmap(f, in_axes=(0, 0, 0, 0, 0, None, None)))
+
+
 def steps_for_width(width: int) -> int:
     """Static bisection step count for a max seeded-range width, rounded up
     to a multiple of 4 to bound the number of distinct jit traces."""
@@ -409,6 +488,97 @@ def build_bucket_table_host(
         b = b * _RADIX + dj  # non-decreasing over SA order
     probes = np.arange(size, dtype=np.int64)
     return np.searchsorted(b, probes, side='left').astype(np.int32)
+
+
+def _digit_stream(text, n):
+    """int32 [N] digit stream: text byte + 1 for positions < n, else 0."""
+    N = text.shape[0]
+    iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
+    return jnp.where(iota < n, text.astype(jnp.int32) + 1, 0), iota
+
+
+def _shifted_digits(d, iota, n, j):
+    """d shifted left by j with 0 (past-end digit) fill."""
+    return jnp.where(iota + j < n, jnp.roll(d, -j), 0)
+
+
+def build_limbs_device(text, n, sa, num_limbs: int = KEY_LIMBS):
+    """Device twin of :func:`build_limbs_host`: packed prefix keys
+    [N * num_limbs] int32 in SA-slot order, derived entirely on device.
+
+    Limb streams are computed in TEXT order with rolled digit streams (pure
+    VPU passes over HBM), then permuted to SA order with one element gather
+    per limb — the gather-friendly formulation (ARCHITECTURE.md measured
+    behaviors: element gathers ~6 ns/element; per-slot row gathers are
+    1000x worse).
+    """
+    N = text.shape[0]
+    n = jnp.asarray(n, jnp.int32)
+    d, iota = _digit_stream(text, n)
+    sa_c = jnp.clip(sa, 0, N - 1)
+    cols = []
+    for j in range(num_limbs):
+        o = 2 + 3 * j
+        lj = (
+            _shifted_digits(d, iota, n, o) * _RADIX
+            + _shifted_digits(d, iota, n, o + 1)
+        ) * _RADIX + _shifted_digits(d, iota, n, o + 2)
+        cols.append(jnp.take(lj, sa_c, axis=0))
+    return jnp.stack(cols, axis=1).reshape(-1)
+
+
+def build_bucket_table_device(text, n, sa, depth: int = 2):
+    """Device twin of :func:`build_bucket_table_host` via scatter-min.
+
+    ``table[k] = first SA slot whose depth-digit prefix value >= k``.  The
+    prefix-value stream is computed in text order, gathered to SA order
+    (non-decreasing), scatter-min'd into a first-slot-per-value table, and
+    completed with a reverse cummin — one N-element scatter instead of a
+    size-17M searchsorted bisection.
+    """
+    N = text.shape[0]
+    n = jnp.asarray(n, jnp.int32)
+    d, iota = _digit_stream(text, n)
+    pv = jnp.zeros((N,), jnp.int32)
+    for j in range(depth):
+        pv = pv * _RADIX + _shifted_digits(d, iota, n, j)
+    b = jnp.take(pv, jnp.clip(sa, 0, N - 1), axis=0)
+    size = _RADIX ** depth + 1
+    # Padding slots (>= n) get the terminator value so they never claim a
+    # real bucket's first slot.
+    b = jnp.where(iota < n, b, size - 1)
+    first = jnp.full((size,), N, jnp.int32).at[b].min(iota, mode='drop')
+    # table[k] = min over k' >= k of first[k']; clamp the N sentinel to n.
+    table = lax.cummin(first, reverse=True)
+    return jnp.minimum(table, n)
+
+
+@functools.lru_cache(maxsize=None)
+def derive_chunk_jit(num_limbs: int, depth: int):
+    """One fused device program: text -> (sa, limbs, bucket table, width).
+
+    The load-path inversion for slow host<->device links (measured in this
+    environment: H2D ~5-12 MB/s, D2H ~1-5 MB/s): instead of uploading
+    SA (4 bytes/char) + limbs (4*num_limbs bytes/char) + tables, upload the
+    text alone (1 byte/char) and derive everything in HBM.  The SA of a
+    string is unique, so the derived SA is byte-identical to the container's.
+
+    Returns the SA rolled to the front (real entries in slots [0, n); the
+    tail holds pad-suffix positions >= n which no probe range can reach —
+    bucket tables clamp to n).
+    """
+    from .suffix_array import _segmented_kernel
+
+    def derive(text, n):
+        N = text.shape[0]
+        sa_full = _segmented_kernel(text, jnp.asarray(n, jnp.int32))
+        sa = jnp.roll(sa_full, n - N)
+        limbs = build_limbs_device(text, n, sa, num_limbs)
+        table = build_bucket_table_device(text, n, sa, depth)
+        width = jnp.max(table[1:] - table[:-1])
+        return sa, limbs, table, width
+
+    return jax.jit(derive)
 
 
 def probe_bounds_bucketed(text, n, sa, table, patterns, lengths,

@@ -467,6 +467,62 @@ def suffix_array_device(data_padded: jnp.ndarray, n) -> jnp.ndarray:
 
 _JAX_MIN_N = 1 << 16  # below this, host numpy beats device dispatch overhead
 
+_LINK_RATES: typing.Optional[typing.Tuple[float, float]] = None
+
+
+def host_device_link_mbps() -> typing.Tuple[float, float]:
+    """(H2D, D2H) bandwidth in MB/s, measured once per process.
+
+    The container build is host IO: a device SA build must ship the text up
+    (1 byte/char) and the SA back down (4 bytes/char), so the link — not the
+    sort — decides which backend wins.  Co-located TPU hosts move GB/s over
+    PCIe; this environment's remote-attach tunnel measures ~5-12 MB/s H2D
+    and ~1-5 MB/s D2H, which caps any build-with-readback at ~1 MB/s.
+
+    A remote-attach platform (``JAX_PLATFORMS=axon``) is assumed slow without
+    measuring — the probe itself would cost seconds there.  CPU backends are
+    "infinitely fast" (no transfer exists).
+    """
+    global _LINK_RATES
+    if _LINK_RATES is None:
+        import os
+        import time
+
+        if jax.default_backend() == 'cpu':
+            _LINK_RATES = (float('inf'), float('inf'))
+        elif 'axon' in os.environ.get('JAX_PLATFORMS', ''):
+            _LINK_RATES = (10.0, 2.0)
+        else:
+            mb = 4.0
+            x = np.zeros(int(mb * 1e6), dtype=np.uint8)
+            t0 = time.perf_counter()
+            d = jax.device_put(x)
+            d.block_until_ready()
+            h2d = mb / max(time.perf_counter() - t0, 1e-9)
+            t0 = time.perf_counter()
+            np.asarray(d)
+            d2h = mb / max(time.perf_counter() - t0, 1e-9)
+            _LINK_RATES = (h2d, d2h)
+    return _LINK_RATES
+
+
+#: Sustained device-build compute rate (sort rounds only, transfers aside),
+#: measured warm on one v5e through this environment (ARCHITECTURE.md).
+_DEVICE_BUILD_MBPS = 25.0
+#: Native single-core SA-IS rate measured on this environment's (slow) host;
+#: scaled by available cores at the Writer level, not here.
+_NATIVE_BUILD_MBPS = 4.0
+
+
+def _device_build_worthwhile(n: int) -> bool:
+    """Estimate whether text-up + device sort + SA-down beats the host SA-IS
+    for an n-byte chunk."""
+    h2d, d2h = host_device_link_mbps()
+    mb = n / 1e6
+    device_s = mb / h2d + mb / _DEVICE_BUILD_MBPS + 4.0 * mb / d2h
+    native_s = mb / _NATIVE_BUILD_MBPS
+    return device_s < native_s
+
 
 def build_suffix_array(
     data: np.ndarray,
@@ -475,7 +531,9 @@ def build_suffix_array(
     """Build the suffix array of ``data`` (uint8) with the chosen backend.
 
     ``auto`` prefers the native C++ SA-IS for small/host work and the XLA
-    device path for large chunks when an accelerator is present.
+    device path for large chunks when an accelerator is present AND the
+    host<->device link is fast enough that shipping the SA back beats
+    building it in place (see :func:`host_device_link_mbps`).
     """
     data = np.asarray(data, dtype=np.uint8)
     if backend == 'numpy':
@@ -492,7 +550,9 @@ def build_suffix_array(
     from . import native
 
     if native.available() and (
-        data.size < _JAX_MIN_N or jax.default_backend() == 'cpu'
+        data.size < _JAX_MIN_N
+        or jax.default_backend() == 'cpu'
+        or not _device_build_worthwhile(data.size)
     ):
         return native.suffix_array_native(data)
     if data.size >= _JAX_MIN_N and jax.default_backend() != 'cpu':

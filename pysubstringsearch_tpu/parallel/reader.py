@@ -85,12 +85,8 @@ class ShardedReader:
         self._C = C
 
     def _probe(self, patterns: np.ndarray, lengths: np.ndarray):
-        deep = (
-            self._steps
-            if patterns.shape[1] > search_ops.key_cover_bytes(self.num_limbs)
-            else 0
-        )
-        probe = search_ops.limbs_batch_jit(self._steps, deep, self.num_limbs)
+        deep = patterns.shape[1] > search_ops.key_cover_bytes(self.num_limbs)
+        probe = search_ops.limbs_loop_batch_jit(deep, self.num_limbs)
         lo, cnt = probe(
             self.text, self.lengths, self.sa, self.tables, self.limbs,
             jnp.asarray(patterns), jnp.asarray(lengths),

@@ -175,3 +175,132 @@ def test_limb_probe_truncated_gather_widths(width):
         jnp.asarray(packed), jnp.asarray(lengths), 36, 0,
     )
     np.testing.assert_array_equal(np.asarray(cnt), expected)
+
+
+def test_device_index_derive_matches_upload():
+    """'derive' mode (text-only upload, SA/limbs/tables rebuilt on device)
+    must be state- and result-identical to 'upload' mode."""
+    from pysubstringsearch_tpu.container import Chunk
+    from pysubstringsearch_tpu.models.index import DeviceIndex
+    from pysubstringsearch_tpu.ops.search import pack_patterns
+
+    rng = np.random.default_rng(23)
+    chunks = []
+    for size in (5000, 3000):
+        words = [
+            bytes(rng.integers(97, 105, size=5, dtype=np.uint8).tobytes())
+            for _ in range(40)
+        ]
+        body = b''
+        while len(body) < size:
+            body += b' '.join(
+                words[i] for i in rng.integers(0, 40, size=4)
+            ) + b'\n'
+        data = np.frombuffer(body, dtype=np.uint8)
+        chunks.append(Chunk(data=data, suffix_array=suffix_array_numpy(data)))
+
+    up = DeviceIndex(chunks, mode='upload')
+    dv = DeviceIndex(chunks, mode='derive')
+    assert dv.probe_steps is None  # readback-free load (loop-form probe)
+    for i, c in enumerate(chunks):
+        n = c.data.size
+        assert np.array_equal(
+            np.asarray(up.sa)[i, :n], np.asarray(dv.sa)[i, :n]
+        )
+    assert np.array_equal(np.asarray(up.tables), np.asarray(dv.tables))
+    assert np.array_equal(np.asarray(up.limbs), np.asarray(dv.limbs))
+
+    pats = [b'a', b'ab', words[0], b'zzz', b'', words[1][:3] + b' ']
+    packed, lengths = pack_patterns(pats)
+    lo_u, cnt_u = up.probe(packed, lengths)
+    lo_d, cnt_d = dv.probe(packed, lengths)
+    assert np.array_equal(lo_u, lo_d)
+    assert np.array_equal(cnt_u, cnt_d)
+
+
+def test_device_table_and_limbs_match_host():
+    """Device scatter-min bucket table and rolled-digit limb builder equal
+    their host (numpy) twins on adversarial bytes (0x00, 0xff, newlines)."""
+    from pysubstringsearch_tpu.ops.search import (
+        build_bucket_table_device,
+        build_bucket_table_host,
+        build_limbs_device,
+        build_limbs_host,
+    )
+
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 256, size=3000, dtype=np.uint8)
+    data[::97] = 0
+    data[::89] = 255
+    data[::53] = 0x0A
+    n = data.size
+    sa = suffix_array_numpy(data)
+    N = _pad_len(n + 64)
+    text = np.zeros(N, dtype=np.uint8)
+    text[:n] = data
+    sa_pad = np.zeros(N, dtype=np.int32)
+    sa_pad[:n] = sa
+    # pad slots carry pad positions (as the derive path produces them)
+    sa_pad[n:] = np.arange(N - 1, n - 1, -1)
+    for depth in (2, 3):
+        host = build_bucket_table_host(data, sa, depth)
+        dev = np.asarray(
+            build_bucket_table_device(
+                jnp.asarray(text), n, jnp.asarray(sa_pad), depth
+            )
+        )
+        assert np.array_equal(dev, host)
+    for k in (1, 5):
+        host_l = build_limbs_host(data, sa, k).reshape(-1)
+        dev_l = np.asarray(
+            build_limbs_device(jnp.asarray(text), n, jnp.asarray(sa_pad), k)
+        )
+        assert np.array_equal(dev_l[: host_l.size], host_l)
+        assert not dev_l[host_l.size :].any()
+
+
+def test_loop_probe_matches_unrolled():
+    """The while_loop probe must produce the same bounds as the statically
+    unrolled probe (and both must satisfy brute force)."""
+    from pysubstringsearch_tpu.ops.search import (
+        build_bucket_table_host,
+        build_limbs_host,
+        limbs_batch_jit,
+        limbs_loop_batch_jit,
+        pack_patterns,
+        steps_for_width,
+    )
+
+    rng = np.random.default_rng(31)
+    data = rng.integers(97, 103, size=4000, dtype=np.uint8)
+    data[::41] = 0x0A
+    n = data.size
+    sa = suffix_array_numpy(data)
+    N = _pad_len(n + 64)
+    text = np.zeros((1, N), np.uint8)
+    text[0, :n] = data
+    sa_p = np.zeros((1, N), np.int32)
+    sa_p[0, :n] = sa
+    table = build_bucket_table_host(data, sa, 2)[None]
+    limbs = np.zeros((1, N * 5), np.int32)
+    k = build_limbs_host(data, sa, 5).reshape(-1)
+    limbs[0, : k.size] = k
+    ns = np.array([n], np.int32)
+    # include long patterns to exercise the deep path in both forms
+    pats = [b'a', b'ab', b'abcabc', b'\n', b'', data[100:130].tobytes()]
+    packed, lengths = pack_patterns(pats)
+    deep = packed.shape[1] > 17
+    steps = steps_for_width(int(np.diff(table[0]).max()))
+    lo_u, cnt_u = limbs_batch_jit(steps, steps if deep else 0, 5)(
+        text, ns, sa_p, table, limbs, packed, lengths
+    )
+    lo_l, cnt_l = limbs_loop_batch_jit(deep, 5)(
+        text, ns, sa_p, table, limbs, packed, lengths
+    )
+    assert np.array_equal(np.asarray(lo_u), np.asarray(lo_l))
+    assert np.array_equal(np.asarray(cnt_u), np.asarray(cnt_l))
+    for b, pat in enumerate(pats):
+        want = sum(
+            1 for i in range(n) if data.tobytes()[i:].startswith(pat)
+        ) if pat else n
+        assert int(np.asarray(cnt_l)[0, b]) == want, pat
