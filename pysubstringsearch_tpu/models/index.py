@@ -67,9 +67,9 @@ class DeviceIndex:
         if mode not in ('upload', 'derive'):
             raise ValueError(f'unknown DeviceIndex mode: {mode!r}')
         self.mode = mode
-        self.num_limbs = (
-            search_ops.KEY_LIMBS if num_limbs is None else num_limbs
-        )
+        if num_limbs is None:
+            num_limbs = self._auto_num_limbs(chunks)
+        self.num_limbs = num_limbs
         if self.num_chunks == 0:
             self.n_pad = 8
             self.text = jnp.zeros((0, 8), jnp.uint8)
@@ -91,6 +91,45 @@ class DeviceIndex:
         else:
             self._init_upload(chunks, n_pad, depth)
 
+    @staticmethod
+    def _device_hbm_budget() -> int:
+        """Usable accelerator memory in bytes (CPU backends: effectively
+        unbounded — host RAM is not ours to meter)."""
+        dev = jax.devices()[0]
+        if dev.platform == 'cpu':
+            return 1 << 62
+        stats = {}
+        try:
+            stats = dev.memory_stats() or {}
+        except Exception:
+            pass
+        limit = stats.get('bytes_limit', 16 << 30)
+        # Leave headroom for probe scratch and the derive build's transients.
+        return int(limit * 0.85)
+
+    def _auto_num_limbs(self, chunks) -> int:
+        """Largest limb count (capped at KEY_LIMBS) whose resident footprint
+        fits the device budget.
+
+        Per chunk of n_pad chars the index holds text (1 B) + SA (4 B) +
+        num_limbs limb planes (4 B each) + the bucket table.  More limbs =
+        longer pattern prefixes resolved in pure int32 digit space (fewer
+        raw-text window gathers), so take as many as fit; at least 1 is kept
+        — if even that overflows, the corpus needs more chips
+        (parallel.ShardedReader), not a thinner index.
+        """
+        if not chunks:
+            return search_ops.KEY_LIMBS
+        max_n = max(c.data.size for c in chunks)
+        n_pad = _pad_len(max_n + search_ops.PAD_MARGIN)
+        depth = 3 if max_n >= self.DEEP_TABLE_MIN_CHUNK else 2
+        C = len(chunks)
+        table_bytes = 4 * (search_ops._RADIX ** depth + 1)
+        base = C * (5 * n_pad + table_bytes)
+        budget = self._device_hbm_budget()
+        fit = (budget - base) // (4 * C * n_pad)
+        return int(max(1, min(search_ops.KEY_LIMBS, fit)))
+
     def _init_upload(self, chunks, n_pad, depth):
         text = np.zeros((self.num_chunks, n_pad), dtype=np.uint8)
         sa = np.zeros((self.num_chunks, n_pad), dtype=np.int32)
@@ -107,6 +146,8 @@ class DeviceIndex:
         # Widest bucket across chunks fixes the static bisection depth.
         widths = np.diff(host_tables, axis=1).max(axis=1)
         self.probe_steps = search_ops.steps_for_width(int(widths.max()))
+        # Plane-major limb layout (limb j of slot i at j*n_pad + i) — see
+        # ops/search.py:_limb_cmp3 for why slot-major is unusable on TPU.
         limbs = np.zeros(
             (self.num_chunks, n_pad * self.num_limbs), dtype=np.int32
         )
@@ -114,22 +155,28 @@ class DeviceIndex:
             k = search_ops.build_limbs_host(
                 c.data, c.suffix_array, self.num_limbs
             )
-            limbs[i, : k.size] = k.reshape(-1)
+            limbs[i] = search_ops.pad_limbs_host(k, n_pad)
         self.limbs = jnp.asarray(limbs)
 
     def _init_derive(self, chunks, n_pad, depth):
-        derive = search_ops.derive_chunk_jit(self.num_limbs, depth)
-        texts, sas, limbs, tables, widths = [], [], [], [], []
+        # Two dispatches per chunk, not one fused program: SA-build scratch
+        # and the [N, num_limbs] limb matrix must not be live simultaneously
+        # (see derive_sa_jit docstring — fused exceeds HBM at reference
+        # chunk sizes).
+        derive_sa = search_ops.derive_sa_jit()
+        derive_aux = search_ops.derive_aux_jit(self.num_limbs, depth)
+        texts, sas, limbs, tables = [], [], [], []
         for c in chunks:
             row = np.zeros((n_pad,), dtype=np.uint8)
             row[: c.data.size] = c.data
             t = jnp.asarray(row)
-            sa, lb, tb, w = derive(t, jnp.int32(c.data.size))
+            n = jnp.int32(c.data.size)
+            sa = derive_sa(t, n)
+            lb, tb = derive_aux(t, n, sa)
             texts.append(t)
             sas.append(sa)
             limbs.append(lb)
             tables.append(tb)
-            widths.append(w)
         self.text = jnp.stack(texts)
         self.sa = jnp.stack(sas)
         self.limbs = jnp.stack(limbs)

@@ -282,16 +282,21 @@ def _pattern_limb_targets(patterns, lengths, thresholds, num_limbs,
 def _limb_cmp3(limbs_flat, slots, targets, stride, k_used):
     """Three-way compare of packed suffix keys at SA slots vs targets.
 
-    ``stride`` is the stored limbs-per-slot of ``limbs_flat``; only the first
-    ``k_used`` limbs are gathered and compared — enough whenever the target
-    digits beyond them are all pads (see probe_bounds_limbs), which cuts the
-    dominant per-step gather volume for short patterns.
+    ``limbs_flat`` is PLANE-MAJOR: ``stride`` planes of ``N`` elements each,
+    limb j of slot i at ``j * N + i``.  (Slot-major `[N, stride]` would be
+    the natural layout, but a minor-dim-``stride`` array is tiled to 128
+    lanes on TPU — a 25x memory blowup that overflows HBM at reference chunk
+    sizes.)  Only the first ``k_used`` limbs are gathered and compared —
+    enough whenever the target digits beyond them are all pads (see
+    probe_bounds_limbs), which cuts the dominant per-step gather volume for
+    short patterns.
     """
     B2 = slots.shape[0]
     K = k_used
-    col = lax.broadcasted_iota(jnp.int32, (B2, K), 1)
-    idx = slots[:, None] * stride + col
     Nk = limbs_flat.shape[0]
+    Ns = Nk // stride
+    col = lax.broadcasted_iota(jnp.int32, (B2, K), 1)
+    idx = col * Ns + slots[:, None]
     rows = jnp.take(
         limbs_flat, jnp.clip(idx.reshape(-1), 0, Nk - 1), axis=0
     ).reshape(B2, K)
@@ -442,7 +447,7 @@ def steps_for_width(width: int) -> int:
 def build_limbs_host(
     data: np.ndarray, sa: np.ndarray, num_limbs: int = KEY_LIMBS
 ) -> np.ndarray:
-    """[n, num_limbs] int32 packed prefix keys in SA-slot order.
+    """[num_limbs, n] int32 packed prefix keys, plane-major (see _limb_cmp3).
 
     limb j of slot i packs bytes ``sa[i]+2+3j .. +3`` of the text as three
     base-258 digits (byte+1; 0 past the end).  Together with the 2-byte
@@ -453,18 +458,28 @@ def build_limbs_host(
     """
     n = data.size
     if n == 0:
-        return np.zeros((0, num_limbs), dtype=np.int32)
+        return np.zeros((num_limbs, 0), dtype=np.int32)
     # Digit stream in text order, padded so all windows are in-bounds.
     width = key_cover_bytes(num_limbs)
     digits = np.zeros(n + width, dtype=np.int32)
     digits[:n] = data.astype(np.int32) + 1
-    out = np.empty((n, num_limbs), dtype=np.int32)
+    out = np.empty((num_limbs, n), dtype=np.int32)
     base = sa.astype(np.int64) + 2
     for j in range(num_limbs):
         o = base + 3 * j
-        out[:, j] = (
+        out[j] = (
             (digits[o] * _RADIX + digits[o + 1]) * _RADIX + digits[o + 2]
         )
+    return out
+
+
+def pad_limbs_host(limbs: np.ndarray, n_pad: int) -> np.ndarray:
+    """Place plane-major host limbs ``[num_limbs, n]`` into the flat padded
+    device layout ``[num_limbs * n_pad]`` (plane j at ``j * n_pad``)."""
+    num_limbs, n = limbs.shape
+    out = np.zeros(num_limbs * n_pad, dtype=np.int32)
+    for j in range(num_limbs):
+        out[j * n_pad : j * n_pad + n] = limbs[j]
     return out
 
 
@@ -511,6 +526,11 @@ def build_limbs_device(text, n, sa, num_limbs: int = KEY_LIMBS):
     per limb — the gather-friendly formulation (ARCHITECTURE.md measured
     behaviors: element gathers ~6 ns/element; per-slot row gathers are
     1000x worse).
+
+    PLANE-MAJOR output (limb j of slot i at ``j * N + i``, see _limb_cmp3):
+    built with `concatenate`, never materializing an `[N, num_limbs]` array —
+    TPU tiling pads a minor dim of ``num_limbs`` to 128 lanes, which at
+    reference chunk sizes is a 25x blowup past HBM.
     """
     N = text.shape[0]
     n = jnp.asarray(n, jnp.int32)
@@ -524,7 +544,7 @@ def build_limbs_device(text, n, sa, num_limbs: int = KEY_LIMBS):
             + _shifted_digits(d, iota, n, o + 1)
         ) * _RADIX + _shifted_digits(d, iota, n, o + 2)
         cols.append(jnp.take(lj, sa_c, axis=0))
-    return jnp.stack(cols, axis=1).reshape(-1)
+    return jnp.concatenate(cols)
 
 
 def build_bucket_table_device(text, n, sa, depth: int = 2):
@@ -554,8 +574,10 @@ def build_bucket_table_device(text, n, sa, depth: int = 2):
 
 
 @functools.lru_cache(maxsize=None)
-def derive_chunk_jit(num_limbs: int, depth: int):
-    """One fused device program: text -> (sa, limbs, bucket table, width).
+def derive_sa_jit():
+    """Device program: text -> SA rolled to the front (real entries in slots
+    [0, n); the tail holds pad-suffix positions >= n which no probe range can
+    reach — bucket tables clamp to n).
 
     The load-path inversion for slow host<->device links (measured in this
     environment: H2D ~5-12 MB/s, D2H ~1-5 MB/s): instead of uploading
@@ -563,22 +585,35 @@ def derive_chunk_jit(num_limbs: int, depth: int):
     text alone (1 byte/char) and derive everything in HBM.  The SA of a
     string is unique, so the derived SA is byte-identical to the container's.
 
-    Returns the SA rolled to the front (real entries in slots [0, n); the
-    tail holds pad-suffix positions >= n which no probe range can reach —
-    bucket tables clamp to n).
+    SA construction and the aux-structure build (:func:`derive_aux_jit`) are
+    deliberately SEPARATE dispatches: fused into one program, the doubling
+    loop's scratch (3 N-int32 carries + sort buffers) and the [N, num_limbs]
+    limb matrix are live together, which exceeds 16 GB HBM at the 512 MiB
+    reference chunk size.  Split, each program's peak fits with room to
+    spare, and nothing extra crosses the link (all intermediates stay in
+    HBM).
     """
     from .suffix_array import _segmented_kernel
 
-    def derive(text, n):
+    def f(text, n):
         N = text.shape[0]
         sa_full = _segmented_kernel(text, jnp.asarray(n, jnp.int32))
-        sa = jnp.roll(sa_full, n - N)
+        return jnp.roll(sa_full, n - N)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def derive_aux_jit(num_limbs: int, depth: int):
+    """Device program: (text, n, sa) -> (packed limb keys, bucket table).
+    Second stage of the derive load path — see :func:`derive_sa_jit`."""
+
+    def f(text, n, sa):
         limbs = build_limbs_device(text, n, sa, num_limbs)
         table = build_bucket_table_device(text, n, sa, depth)
-        width = jnp.max(table[1:] - table[:-1])
-        return sa, limbs, table, width
+        return limbs, table
 
-    return jax.jit(derive)
+    return jax.jit(f)
 
 
 def probe_bounds_bucketed(text, n, sa, table, patterns, lengths,

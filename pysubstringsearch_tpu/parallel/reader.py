@@ -74,12 +74,13 @@ class ShardedReader:
         widths = np.diff(host_tables, axis=1).max(axis=1, initial=0)
         self._steps = search_ops.steps_for_width(int(widths.max(initial=0)))
         self.num_limbs = search_ops.KEY_LIMBS
+        # Plane-major limb layout — see ops/search.py:_limb_cmp3.
         limbs = np.zeros((C, n_pad * self.num_limbs), dtype=np.int32)
         for i, c in enumerate(self._chunks):
             k = search_ops.build_limbs_host(
                 c.data, c.suffix_array, self.num_limbs
             )
-            limbs[i, : k.size] = k.reshape(-1)
+            limbs[i] = search_ops.pad_limbs_host(k, n_pad)
         self.limbs = jax.device_put(limbs, shard)
         self._n_pad = n_pad
         self._C = C

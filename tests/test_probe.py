@@ -15,6 +15,7 @@ from pysubstringsearch_tpu.ops.search import (
     build_limbs_host,
     key_cover_bytes,
     pack_patterns,
+    pad_limbs_host,
     probe_bounds,
     probe_bounds_bucketed,
     probe_bounds_limbs,
@@ -97,8 +98,7 @@ def test_plain_and_bucketed_match_brute_force(ci):
     limbs = build_limbs_host(
         np.frombuffer(data, dtype=np.uint8), np.asarray(sa)[: len(data)]
     )
-    limbs_pad = np.zeros(text.shape[0] * KEY_LIMBS, dtype=np.int32)
-    limbs_pad[: limbs.size] = limbs.reshape(-1)
+    limbs_pad = pad_limbs_host(limbs, text.shape[0])
     width = key_cover_bytes()
     deep = 36 if packed.shape[1] > width else 0
     lo_l, cnt_l = probe_bounds_limbs(
@@ -139,8 +139,7 @@ def test_depth3_bucket_table_probe():
     limbs = build_limbs_host(
         np.frombuffer(data, dtype=np.uint8), np.asarray(sa)[: len(data)]
     )
-    limbs_pad = np.zeros(text.shape[0] * KEY_LIMBS, dtype=np.int32)
-    limbs_pad[: limbs.size] = limbs.reshape(-1)
+    limbs_pad = pad_limbs_host(limbs, text.shape[0])
     deep = 36 if packed.shape[1] > key_cover_bytes() else 0
     lo_l, cnt_l = probe_bounds_limbs(
         text, n, sa, jnp.asarray(table3), jnp.asarray(limbs_pad),
@@ -168,8 +167,7 @@ def test_limb_probe_truncated_gather_widths(width):
     limbs = build_limbs_host(
         np.frombuffer(data, dtype=np.uint8), np.asarray(sa)[: len(data)]
     )
-    limbs_pad = np.zeros(text.shape[0] * KEY_LIMBS, dtype=np.int32)
-    limbs_pad[: limbs.size] = limbs.reshape(-1)
+    limbs_pad = pad_limbs_host(limbs, text.shape[0])
     lo, cnt = probe_bounds_limbs(
         text, n, sa, table, jnp.asarray(limbs_pad),
         jnp.asarray(packed), jnp.asarray(lengths), 36, 0,
@@ -251,12 +249,12 @@ def test_device_table_and_limbs_match_host():
         )
         assert np.array_equal(dev, host)
     for k in (1, 5):
-        host_l = build_limbs_host(data, sa, k).reshape(-1)
+        host_l = build_limbs_host(data, sa, k)  # [k, n] plane-major
         dev_l = np.asarray(
             build_limbs_device(jnp.asarray(text), n, jnp.asarray(sa_pad), k)
-        )
-        assert np.array_equal(dev_l[: host_l.size], host_l)
-        assert not dev_l[host_l.size :].any()
+        ).reshape(k, N)
+        assert np.array_equal(dev_l[:, :n], host_l)
+        assert not dev_l[:, n:].any()
 
 
 def test_loop_probe_matches_unrolled():
@@ -282,9 +280,7 @@ def test_loop_probe_matches_unrolled():
     sa_p = np.zeros((1, N), np.int32)
     sa_p[0, :n] = sa
     table = build_bucket_table_host(data, sa, 2)[None]
-    limbs = np.zeros((1, N * 5), np.int32)
-    k = build_limbs_host(data, sa, 5).reshape(-1)
-    limbs[0, : k.size] = k
+    limbs = pad_limbs_host(build_limbs_host(data, sa, 5), N)[None]
     ns = np.array([n], np.int32)
     # include long patterns to exercise the deep path in both forms
     pats = [b'a', b'ab', b'abcabc', b'\n', b'', data[100:130].tobytes()]
