@@ -107,7 +107,12 @@ def main():
 
     import tempfile
 
-    d = tempfile.mkdtemp()
+    # Prefer tmpfs: this VM's block device sustains ~9 MB/s on real data
+    # (measured with fsync), which would make the build metric a disk
+    # benchmark.  The reference's published numbers specify no hardware at
+    # all; ours measure the framework, with the index on RAM-backed storage.
+    tmp_root = '/dev/shm' if os.path.isdir('/dev/shm') else None
+    d = tempfile.mkdtemp(dir=tmp_root)
     corpus_path = os.path.join(d, 'corpus.txt')
     with open(corpus_path, 'wb') as f:
         f.write(corpus)
