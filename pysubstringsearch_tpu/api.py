@@ -249,20 +249,16 @@ class Reader:
             packed, lengths = search_ops.pack_patterns(patterns)
             with self._prof.phase('probe'):
                 lo, cnt = self._index.probe(packed, lengths)
-        out: typing.List[typing.List[str]] = []
+        out: typing.List[typing.List[str]] = [[] for _ in patterns]
         with self._prof.phase('extract'):
-            for b in range(len(patterns)):
-                results: typing.List[str] = []
-                for c, chunk in enumerate(self._chunks):
-                    count = int(cnt[c, b])
-                    if count <= 0:
-                        continue
-                    start = int(lo[c, b])
-                    positions = chunk.suffix_array[start : start + count]
-                    results.extend(
-                        self._tables[c].extract_unique_lines(positions)
-                    )
-                out.append(results)
+            # One vectorized extraction per chunk (ops/extract.py); chunk-major
+            # concatenation preserves the per-pattern result order.
+            for c, chunk in enumerate(self._chunks):
+                per = self._tables[c].extract_lines_batch(
+                    chunk.suffix_array, lo[c], cnt[c]
+                )
+                for b, lines in per.items():
+                    out[b].extend(lines)
         return out
 
     def search(self, substring: str) -> typing.List[str]:

@@ -53,8 +53,8 @@ class DeviceIndex:
           when the host<->device link is fast (co-located TPU: PCIe) or the
           backend IS the host (CPU), where "transfer" is free.
         - ``'derive'``: transfer the TEXT ONLY (1 byte/char vs ~4+4*num_limbs)
-          and rebuild SA, limbs, and tables on device in one fused jitted
-          program per chunk (ops/search.py derive_chunk_jit).  The SA of a
+          and rebuild SA, limbs, and tables on device in two jitted programs
+          per chunk (ops/search.py derive_sa_jit / derive_aux_jit).  The SA of a
           string is unique, so the derived SA is byte-identical to the
           container's.  Right when the link is slow (this environment's
           remote-attach tunnel measures H2D ~5-12 MB/s, D2H ~1-5 MB/s — a
@@ -143,9 +143,6 @@ class DeviceIndex:
             for c in chunks
         ])
         self.tables = jnp.asarray(host_tables)
-        # Widest bucket across chunks fixes the static bisection depth.
-        widths = np.diff(host_tables, axis=1).max(axis=1)
-        self.probe_steps = search_ops.steps_for_width(int(widths.max()))
         # Plane-major limb layout (limb j of slot i at j*n_pad + i) — see
         # ops/search.py:_limb_cmp3 for why slot-major is unusable on TPU.
         limbs = np.zeros(
@@ -181,9 +178,6 @@ class DeviceIndex:
         self.sa = jnp.stack(sas)
         self.limbs = jnp.stack(limbs)
         self.tables = jnp.stack(tables)
-        # No width readback: the loop-form probe (limbs_loop_batch_jit)
-        # converges on device, so the derive load path is fully readback-free.
-        self.probe_steps = None
 
     def probe_device(
         self,

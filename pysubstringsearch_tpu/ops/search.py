@@ -486,10 +486,9 @@ def pad_limbs_host(limbs: np.ndarray, n_pad: int) -> np.ndarray:
 def build_bucket_table_host(
     data: np.ndarray, sa: np.ndarray, depth: int = 2
 ) -> np.ndarray:
-    """Host (numpy) twin of build_bucket_table — used at index load so that
-    no device round trip is needed before the first probe (a device->host
-    readback permanently degrades dispatch throughput in this environment's
-    remote runtime; see ARCHITECTURE.md)."""
+    """Host (numpy) twin of build_bucket_table — used at index load (upload
+    mode) so the load path is pure H2D with no device round trips before the
+    first probe."""
     size = _RADIX ** depth + 1
     n = data.size
     if n == 0:

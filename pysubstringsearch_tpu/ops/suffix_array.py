@@ -28,6 +28,7 @@ past-the-end as ``0``.
 
 from __future__ import annotations
 
+import os
 import typing
 
 import jax
@@ -432,11 +433,10 @@ def suffix_array_jax(
     The entire build is ONE device dispatch (``lax.while_loop`` with on-device
     early exit) and the only device->host transfer is the final SA readback.
     This matters twice over: (a) the loop body is sort-dominated, so the
-    while_loop's per-iteration overhead is immaterial here (unlike the query
-    path, which unrolls statically); (b) in this environment's remote-attach
-    runtime, the FIRST device->host readback of any kind permanently degrades
-    subsequent dispatch throughput (see ARCHITECTURE.md §measured-behaviors),
-    so per-round host-side convergence checks would poison the whole process.
+    while_loop's per-iteration overhead is immaterial here; (b) the
+    host<->device link can be very slow (ARCHITECTURE.md measured behavior
+    #4), so per-round host-side convergence checks would serialize every
+    round on a round-trip.
     """
     data = np.asarray(data, dtype=np.uint8)
     n = data.size
@@ -485,7 +485,6 @@ def host_device_link_mbps() -> typing.Tuple[float, float]:
     """
     global _LINK_RATES
     if _LINK_RATES is None:
-        import os
         import time
 
         if jax.default_backend() == 'cpu':
@@ -506,12 +505,12 @@ def host_device_link_mbps() -> typing.Tuple[float, float]:
     return _LINK_RATES
 
 
-#: Sustained device-build compute rate (sort rounds only, transfers aside),
-#: measured warm on one v5e through this environment (ARCHITECTURE.md).
-_DEVICE_BUILD_MBPS = 25.0
-#: Native single-core SA-IS rate measured on this environment's (slow) host;
-#: scaled by available cores at the Writer level, not here.
-_NATIVE_BUILD_MBPS = 4.0
+#: Planning rates for the auto backend dispatch.  Defaults were measured on
+#: one v5e / this environment's host (ARCHITECTURE.md) and are deliberately
+#: coarse — they only decide which backend to try, never correctness.
+#: Override per deployment via env when the defaults misjudge the hardware.
+_DEVICE_BUILD_MBPS = float(os.environ.get('TPUSS_DEVICE_BUILD_MBPS', '25.0'))
+_NATIVE_BUILD_MBPS = float(os.environ.get('TPUSS_NATIVE_BUILD_MBPS', '8.0'))
 
 
 def _device_build_worthwhile(n: int) -> bool:

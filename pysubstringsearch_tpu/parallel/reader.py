@@ -71,8 +71,6 @@ class ShardedReader:
                 c.data, c.suffix_array, depth
             )
         self.tables = jax.device_put(host_tables, shard)
-        widths = np.diff(host_tables, axis=1).max(axis=1, initial=0)
-        self._steps = search_ops.steps_for_width(int(widths.max(initial=0)))
         self.num_limbs = search_ops.KEY_LIMBS
         # Plane-major limb layout — see ops/search.py:_limb_cmp3.
         limbs = np.zeros((C, n_pad * self.num_limbs), dtype=np.int32)
@@ -120,17 +118,13 @@ class ShardedReader:
             return out
         packed, lengths = search_ops.pack_patterns(patterns)
         lo, cnt = self._probe(packed, lengths)
-        out = []
-        for b in range(len(patterns)):
-            results = []
-            for c, chunk in enumerate(self._chunks):
-                count = int(cnt[c, b])
-                if count <= 0:
-                    continue
-                start = int(lo[c, b])
-                positions = chunk.suffix_array[start : start + count]
-                results.extend(self._tables[c].extract_unique_lines(positions))
-            out.append(results)
+        out: typing.List[typing.List[str]] = [[] for _ in patterns]
+        for c, chunk in enumerate(self._chunks):
+            per = self._tables[c].extract_lines_batch(
+                chunk.suffix_array, lo[c], cnt[c]
+            )
+            for b, lines in per.items():
+                out[b].extend(lines)
         return out
 
     def search(self, substring: str) -> typing.List[str]:

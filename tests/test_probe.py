@@ -199,7 +199,6 @@ def test_device_index_derive_matches_upload():
 
     up = DeviceIndex(chunks, mode='upload')
     dv = DeviceIndex(chunks, mode='derive')
-    assert dv.probe_steps is None  # readback-free load (loop-form probe)
     for i, c in enumerate(chunks):
         n = c.data.size
         assert np.array_equal(
