@@ -67,11 +67,15 @@ class DeviceIndex:
         if mode not in ('upload', 'derive'):
             raise ValueError(f'unknown DeviceIndex mode: {mode!r}')
         self.mode = mode
+        # Raw 4-byte limb packing needs NUL-free text (ops/search.py phased-
+        # probe section); chunks containing 0x00 use base-258 digit limbs.
+        self.raw = all(not bool(np.any(c.data == 0)) for c in chunks)
         if num_limbs is None:
             num_limbs = self._auto_num_limbs(chunks)
         self.num_limbs = num_limbs
         if self.num_chunks == 0:
             self.n_pad = 8
+            self._depth = 2
             self.text = jnp.zeros((0, 8), jnp.uint8)
             self.sa = jnp.zeros((0, 8), jnp.int32)
             self.lengths = jnp.zeros((0,), jnp.int32)
@@ -85,7 +89,25 @@ class DeviceIndex:
         self.n_pad = n_pad
         n = np.array([c.data.size for c in chunks], dtype=np.int32)
         self.lengths = jnp.asarray(n)
-        depth = 3 if max_n >= self.DEEP_TABLE_MIN_CHUNK else 2
+        if self.raw:
+            # Alphabet-ranked seed table: rank bytes through the union
+            # alphabet of all chunks; a small alphabet buys a much deeper
+            # dense seed (each extra byte of depth removes ~log2(sigma)
+            # probe iterations per query — see ops/search.py).
+            pres = np.zeros(256, dtype=bool)
+            for c in chunks:
+                pres |= np.bincount(c.data, minlength=256)[:256] > 0
+            rank, sigma = search_ops.alphabet_rank(pres)
+            base, depth = search_ops.pick_table_params(sigma, max_n)
+        else:
+            rank, pres = search_ops.identity_rank()
+            pres = pres > 0
+            base = search_ops._RADIX
+            depth = 3 if max_n >= self.DEEP_TABLE_MIN_CHUNK else 2
+        self._base, self._depth = base, depth
+        self._rank_host = rank
+        self.rank = jnp.asarray(rank)
+        self.present = jnp.asarray(pres.astype(np.int32))
         if mode == 'derive':
             self._init_derive(chunks, n_pad, depth)
         else:
@@ -108,18 +130,19 @@ class DeviceIndex:
         return int(limit * 0.85)
 
     def _auto_num_limbs(self, chunks) -> int:
-        """Largest limb count (capped at KEY_LIMBS) whose resident footprint
-        fits the device budget.
+        """Largest limb count whose resident footprint fits the device
+        budget (capped at RAW_LIMBS / KEY_LIMBS for raw / digit packing).
 
         Per chunk of n_pad chars the index holds text (1 B) + SA (4 B) +
         num_limbs limb planes (4 B each) + the bucket table.  More limbs =
-        longer pattern prefixes resolved in pure int32 digit space (fewer
+        longer pattern prefixes resolved in packed key space (fewer
         raw-text window gathers), so take as many as fit; at least 1 is kept
         — if even that overflows, the corpus needs more chips
         (parallel.ShardedReader), not a thinner index.
         """
+        cap = search_ops.RAW_LIMBS if self.raw else search_ops.KEY_LIMBS
         if not chunks:
-            return search_ops.KEY_LIMBS
+            return cap
         max_n = max(c.data.size for c in chunks)
         n_pad = _pad_len(max_n + search_ops.PAD_MARGIN)
         depth = 3 if max_n >= self.DEEP_TABLE_MIN_CHUNK else 2
@@ -128,7 +151,7 @@ class DeviceIndex:
         base = C * (5 * n_pad + table_bytes)
         budget = self._device_hbm_budget()
         fit = (budget - base) // (4 * C * n_pad)
-        return int(max(1, min(search_ops.KEY_LIMBS, fit)))
+        return int(max(1, min(cap, fit)))
 
     def _init_upload(self, chunks, n_pad, depth):
         text = np.zeros((self.num_chunks, n_pad), dtype=np.uint8)
@@ -139,7 +162,9 @@ class DeviceIndex:
         self.text = jnp.asarray(text)
         self.sa = jnp.asarray(sa)
         host_tables = np.stack([
-            search_ops.build_bucket_table_host(c.data, c.suffix_array, depth)
+            search_ops.build_seed_table_host(
+                c.data, c.suffix_array, self._rank_host, self._base, depth
+            )
             for c in chunks
         ])
         self.tables = jnp.asarray(host_tables)
@@ -149,9 +174,14 @@ class DeviceIndex:
             (self.num_chunks, n_pad * self.num_limbs), dtype=np.int32
         )
         for i, c in enumerate(chunks):
-            k = search_ops.build_limbs_host(
-                c.data, c.suffix_array, self.num_limbs
-            )
+            if self.raw:
+                k = search_ops.build_raw_limbs_host(
+                    c.data, c.suffix_array, self.num_limbs, depth
+                )
+            else:
+                k = search_ops.build_limbs_host(
+                    c.data, c.suffix_array, self.num_limbs
+                )
             limbs[i] = search_ops.pad_limbs_host(k, n_pad)
         self.limbs = jnp.asarray(limbs)
 
@@ -161,7 +191,13 @@ class DeviceIndex:
         # (see derive_sa_jit docstring — fused exceeds HBM at reference
         # chunk sizes).
         derive_sa = search_ops.derive_sa_jit()
-        derive_aux = search_ops.derive_aux_jit(self.num_limbs, depth)
+        if self.raw:
+            aux_raw = search_ops.derive_aux_raw_jit(
+                self.num_limbs, self._base, depth
+            )
+            derive_aux = lambda t, n, sa: aux_raw(t, n, sa, self.rank)
+        else:
+            derive_aux = search_ops.derive_aux_jit(self.num_limbs, depth)
         texts, sas, limbs, tables = [], [], [], []
         for c in chunks:
             row = np.zeros((n_pad,), dtype=np.uint8)
@@ -192,8 +228,20 @@ class DeviceIndex:
         """
         # deep refinement only when the batch has patterns beyond the packed
         # key coverage — a static (host-known) decision per pattern width.
-        deep = patterns.shape[1] > search_ops.key_cover_bytes(self.num_limbs)
-        probe = search_ops.limbs_loop_batch_jit(deep, self.num_limbs)
+        if self.raw:
+            cover = search_ops.raw_cover_bytes(self.num_limbs, self._depth)
+            probe = search_ops.phased_batch_jit(
+                patterns.shape[1] > cover, self.num_limbs
+            )
+            return probe(
+                self.text, self.lengths, self.sa, self.tables, self.limbs,
+                self.rank, self.present,
+                jnp.asarray(patterns), jnp.asarray(lengths),
+            )
+        cover = search_ops.key_cover_bytes(self.num_limbs)
+        probe = search_ops.limbs_loop_batch_jit(
+            patterns.shape[1] > cover, self.num_limbs
+        )
         return probe(
             self.text, self.lengths, self.sa, self.tables, self.limbs,
             jnp.asarray(patterns), jnp.asarray(lengths),
@@ -214,4 +262,16 @@ class DeviceIndex:
             zeros = np.zeros((self.num_chunks, B), dtype=np.int32)
             return zeros, zeros.copy()
         lo, cnt = self.probe_device(patterns, lengths)
-        return np.asarray(lo), np.asarray(cnt)
+        lo, cnt = np.asarray(lo), np.asarray(cnt)
+        if self.raw:
+            # NUL-free text cannot contain a pattern with a 0x00 byte, and
+            # the raw packing cannot represent one — resolve on the host.
+            jpos = np.arange(patterns.shape[1])[None, :]
+            has_nul = np.any(
+                (patterns == 0) & (jpos < np.asarray(lengths)[:, None]),
+                axis=1,
+            )
+            if has_nul.any():
+                lo = np.where(has_nul[None, :], 0, lo)
+                cnt = np.where(has_nul[None, :], 0, cnt)
+        return lo, cnt

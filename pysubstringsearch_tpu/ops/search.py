@@ -17,20 +17,19 @@ Semantics match the reference byte compare exactly:
 
 TPU-shaping decisions (measured on v5e):
 
-- Text windows are fetched with ``vmap(lax.dynamic_slice)`` — XLA lowers this
-  to a sliced gather that moves whole rows at ~6 M rows/s-per-lane-bundle,
-  ~500x faster than an element gather of the same bytes.  Text arrays carry a
-  zero-padding margin so windows never clamp in the common case; a per-lane
-  roll keeps the exotic clamped case exact.
 - The two searches fuse: classify each (pattern, suffix) pair with a three-way
   compare ``cmp ∈ {-1, 0, +1}`` (0 = pattern is a prefix); ``lower`` is the
   first slot with ``cmp >= 0`` and ``upper`` the first with ``cmp >= 1`` —
   one predicate parameterized by a threshold, so both bounds run as a single
   ``[2B]`` search.
-- ``probe_bounds_bucketed`` seeds the bisection from a precomputed 2-byte
-  prefix bucket table (first-two-byte analogue of the suffix array's bucket
-  structure), skipping ~16 of the ~30 steps, and runs only as many steps as
-  the widest seeded range actually needs (dynamic fori bound).
+- The production path is :func:`probe_bounds_phased` — see the phased
+  raw-limb section below for its cost model and design (one int32 gather
+  per lane per step, alphabet-ranked deep seed tables).
+- Chunks containing NUL bytes fall back to :func:`probe_bounds_limbs_loop`,
+  the base-258 digit-limb bisection whose 0-digit encodes past-end exactly.
+- :func:`probe_bounds` is the plain byte-window bisection — the executable
+  oracle for both, and the deep-refinement engine for patterns longer than
+  the packed key coverage.
 """
 
 from __future__ import annotations
@@ -45,11 +44,13 @@ from jax import lax
 __all__ = [
     'pack_patterns',
     'probe_bounds',
-    'probe_bounds_bucketed',
+    'probe_bounds_phased',
     'build_bucket_table',
+    'build_seed_table_host',
     'gather_hit_positions',
     'BUCKET_TABLE_SIZE',
     'PAD_MARGIN',
+    'RAW_LIMBS',
 ]
 
 #: Digit space for byte ranks: real byte b -> b + 1, past-the-end -> 0, and
@@ -72,6 +73,42 @@ def _bucket_depth(table_len: int) -> int:
     if table_len == BUCKET_TABLE_SIZE_3:
         return 3
     raise ValueError(f'not a bucket table length: {table_len}')
+
+
+#: (base, depth) combinations a ranked seed table may use.  Alphabet-ranked
+#: bases are powers of two so every combination's table length is unique —
+#: the static table shape alone identifies the parameters at trace time.
+_TABLE_COMBOS = tuple(
+    (base, d)
+    for base in (32, 64, 128, _RADIX)
+    for d in (2, 3, 4, 5)
+    if base ** d <= 1 << 28
+)
+
+
+def table_params(table_len: int):
+    """(base, depth) encoded by a seed table's static length."""
+    for base, d in _TABLE_COMBOS:
+        if base ** d + 1 == table_len:
+            return base, d
+    raise ValueError(f'not a seed table length: {table_len}')
+
+
+def pick_table_params(sigma: int, max_n: int):
+    """Choose the ranked seed table's (base, depth) for an alphabet of
+    ``sigma`` distinct bytes and chunks of at most ``max_n`` chars.
+
+    Base: the smallest power-of-two holding every rank plus the two pad
+    digits (0 = past-end/-inf, base-1 = +inf); full-byte alphabets fall back
+    to the 258 digit base.  Depth: as deep as fits both a hard entry cap and
+    the chunk size (a table bigger than the chunk costs more to build than
+    the bisection steps it saves).  A deeper seed removes ~log2(sigma) probe
+    iterations per extra byte — the cheapest steps this workload can buy.
+    """
+    base = next((b for b in (32, 64, 128) if sigma + 2 <= b), _RADIX)
+    cap = min(48 << 20, max(base ** 2, max_n))
+    depth = max(d for b, d in _TABLE_COMBOS if b == base and b ** d <= cap)
+    return base, depth
 
 #: Limbs per suffix in the packed prefix-key array: each limb holds 3 bytes
 #: in base-258 digits (b+1; 0 = past-end), so the bucket (2 bytes) plus
@@ -307,57 +344,6 @@ def _limb_cmp3(limbs_flat, slots, targets, stride, k_used):
     return jnp.sum(d * onehot, axis=1).astype(jnp.int32)
 
 
-def probe_bounds_limbs(text, n, sa, table, limbs_flat, patterns, lengths,
-                       steps: int, deep_steps: int = 0,
-                       num_limbs: int = KEY_LIMBS):
-    """The production probe: bucket-seeded bisection over packed prefix keys.
-
-    Each bisection step gathers ``num_limbs`` int32 elements per lane (vs L
-    text bytes for the byte-window probe) and compares in pure digit space.
-    Patterns longer than ``key_cover_bytes(num_limbs)`` finish with
-    ``deep_steps`` byte-window bisection steps inside the key-resolved range
-    (callers pass deep_steps=0 when the batch's max length fits the keys —
-    a static, trace-time decision).
-
-    Only the first ``ceil((L-2)/3)`` stored limbs are gathered/compared
-    (static in the packed pattern width L): any limb past that is all-pad in
-    every lane's target — 0 digits for lower-bound lanes (so the full-key
-    compare can never be < 0 there) and 257 digits for upper-bound lanes (so
-    it is always < 0) — which means the truncated compare drives the
-    bisection predicate to the same value as the full compare.
-    """
-    n = jnp.asarray(n, jnp.int32)
-    both, both_len, thresholds = _duplex(patterns, lengths)
-    B = patterns.shape[0]
-    L = patterns.shape[1]
-    k_used = max(1, min(num_limbs, -(-(L - 2) // 3)))
-    bucket, tgt = _pattern_limb_targets(
-        jnp.concatenate([patterns, patterns], axis=0).astype(jnp.uint8),
-        both_len, thresholds, k_used,
-        bucket_depth=_bucket_depth(table.shape[0]),
-    )
-    lo = jnp.take(table, bucket, axis=0)
-    hi = jnp.take(table, bucket + 1, axis=0)
-    for _ in range(steps):
-        mid = (lo + hi) // 2
-        cmp = _limb_cmp3(limbs_flat, mid, tgt, num_limbs, k_used)
-        pred = cmp >= thresholds
-        active = lo < hi
-        hi = jnp.where(jnp.logical_and(active, pred), mid, hi)
-        lo = jnp.where(jnp.logical_and(active, ~pred), mid + 1, lo)
-    if deep_steps > 0:
-        # Keys resolved only the first key_cover_bytes(); continue on raw
-        # text within the key-equal range (exchange duplex halves so both
-        # lanes bisect the same enclosing range).
-        l0 = jnp.concatenate([lo[:B], lo[:B]], axis=0)
-        h0 = jnp.concatenate([lo[B:], lo[B:]], axis=0)
-        lo = _bisect_first_geq(
-            text, n, sa, both, both_len, thresholds, l0, h0, deep_steps
-        )
-    lower = lo[:B]
-    return lower, lo[B:] - lower
-
-
 def probe_bounds_limbs_loop(text, n, sa, table, limbs_flat, patterns,
                             lengths, deep: bool = False,
                             num_limbs: int = KEY_LIMBS):
@@ -435,13 +421,6 @@ def limbs_loop_batch_jit(deep: bool, num_limbs: int):
         )
 
     return jax.jit(jax.vmap(f, in_axes=(0, 0, 0, 0, 0, None, None)))
-
-
-def steps_for_width(width: int) -> int:
-    """Static bisection step count for a max seeded-range width, rounded up
-    to a multiple of 4 to bound the number of distinct jit traces."""
-    raw = int(np.ceil(np.log2(width + 1))) + 1 if width > 0 else 0
-    return min(-(-raw // 4) * 4, 36)
 
 
 def build_limbs_host(
@@ -615,118 +594,373 @@ def derive_aux_jit(num_limbs: int, depth: int):
     return jax.jit(f)
 
 
-def probe_bounds_bucketed(text, n, sa, table, patterns, lengths,
-                          steps: int = 36):
-    """probe_bounds seeded from a 2-byte bucket table — the production query
-    path.  ``steps`` is static; callers pass ``steps_for_width(max bucket
-    width)`` measured once at table-build time (DeviceIndex does)."""
+@functools.lru_cache(maxsize=None)
+def derive_aux_raw_jit(num_limbs: int, base: int, depth: int):
+    """Raw-limb twin of :func:`derive_aux_jit` (NUL-free chunks — see the
+    phased-probe section comment).  Builds the alphabet-ranked seed table;
+    ``rank`` is the index's [256] int32 rank map."""
+
+    def f(text, n, sa, rank):
+        limbs = build_raw_limbs_device(text, n, sa, num_limbs, depth)
+        table = build_seed_table_device(text, n, sa, rank, base, depth)
+        return limbs, table
+
+    return jax.jit(f)
+
+
+# ---------------------------------------------------------------------------
+# Phased raw-limb probe — the production query path
+# ---------------------------------------------------------------------------
+#
+# Cost model measured on v5e (benchmarks/gather_sweep.py): a flat element
+# gather costs ~13 ns/element regardless of array size (0.25 Mi..420 Mi),
+# index locality (sorted/clustered no better), or element width (uint8 ==
+# int32; int64 = 2x) — the probe's cost is simply
+#
+#     13 ns x lanes x elements-per-lane-per-step x steps.
+#
+# The round-1 probe gathered k_used (up to 5) int32 digit-limbs per lane per
+# step.  This probe gathers exactly ONE int32 per lane per step and makes it
+# carry 4 text bytes instead of 3:
+#
+# - Limb j of SA slot i packs text[sa[i]+D+4j .. +3] as a big-endian int32
+#   with the top byte biased by -128 (an order-preserving signed encoding —
+#   the classic sign-flip trick without leaving int32), where D = bucket
+#   table depth.  Past-the-end bytes zero-fill, which sorts prefixes before
+#   extensions PROVIDED the text contains no 0x00 byte; chunks containing
+#   NUL fall back to the base-258 digit-limb probe (probe_bounds_limbs_loop)
+#   whose 0-digit encodes past-end exactly.
+# - The search runs in PHASES: the duplex pair (lower lane b, upper lane
+#   b+B) bisects limb j within the current tie range; when both lanes of a
+#   pair converge they have found [first slot with limb_j >= t_j, first slot
+#   with limb_j > t_j) — the tie range of limb j — and the pair descends
+#   into it for limb j+1 (an exchange across the duplex halves).  Equal
+#   4-byte windows are 26x rarer than equal 3-byte windows at word
+#   boundaries, so phase re-localization (the Sum log2 W_j overhead measured
+#   in benchmarks/phase_sim.py) shrinks vs 3-byte limbs.
+# - Patterns longer than the packed coverage (D + 4*num_limbs bytes) finish
+#   with a raw text-window bisection inside the final tie range.
+#
+# Interpolated midpoints were simulated on the bench corpus and REJECTED:
+# mean 96 steps vs binary's 19.5 (values cluster into lattice islands;
+# interpolation crawls across them).  See benchmarks/phase_sim.py.
+
+RAW_LIMBS = 3
+
+
+def raw_cover_bytes(num_limbs: int = RAW_LIMBS, depth: int = 3) -> int:
+    return depth + 4 * num_limbs
+
+
+def build_raw_limbs_host(
+    data: np.ndarray, sa: np.ndarray, num_limbs: int = RAW_LIMBS,
+    depth: int = 3,
+) -> np.ndarray:
+    """[num_limbs, n] int32 raw-packed prefix keys, plane-major.
+
+    Limb j of slot i = text bytes ``sa[i]+depth+4j .. +3`` packed big-endian
+    with the top byte biased by -128; zero fill past the end.  Only valid
+    for NUL-free chunks (see module comment above).
+    """
+    n = data.size
+    if n == 0:
+        return np.zeros((num_limbs, 0), dtype=np.int32)
+    width = raw_cover_bytes(num_limbs, depth)
+    b = np.zeros(n + width, dtype=np.int64)
+    b[:n] = data
+    out = np.empty((num_limbs, n), dtype=np.int32)
+    base = sa.astype(np.int64) + depth
+    for j in range(num_limbs):
+        o = base + 4 * j
+        v = (
+            (b[o] - 128) * 16777216
+            + b[o + 1] * 65536
+            + b[o + 2] * 256
+            + b[o + 3]
+        )
+        out[j] = v.astype(np.int32)
+    return out
+
+
+def build_raw_limbs_device(text, n, sa, num_limbs: int = RAW_LIMBS,
+                           depth: int = 3):
+    """Device twin of :func:`build_raw_limbs_host`: [N * num_limbs] int32 in
+    SA-slot order, plane-major, derived entirely in HBM (text-order shifted
+    byte streams packed, then one element gather per limb)."""
+    N = text.shape[0]
     n = jnp.asarray(n, jnp.int32)
-    both, both_len, thresholds = _duplex(patterns, lengths)
-    B2 = both.shape[0]
-    depth = _bucket_depth(table.shape[0])
-    # Target digit values: lower-bound lanes pad with 0 (-infinity digit),
-    # upper-bound lanes with 257 (+infinity digit).
-    pad = jnp.where(thresholds > 0, _RADIX - 1, 0)
+    iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
+    b = jnp.where(iota < n, text.astype(jnp.int32), 0)
+
+    def shifted(j):
+        return jnp.where(iota + j < n, jnp.roll(b, -j), 0)
+
+    sa_c = jnp.clip(sa, 0, N - 1)
+    cols = []
+    for j in range(num_limbs):
+        o = depth + 4 * j
+        lj = (
+            (shifted(o) - 128) * 16777216
+            + shifted(o + 1) * 65536
+            + shifted(o + 2) * 256
+            + shifted(o + 3)
+        )
+        # Zero the padding slots (>= n) for state parity with the host
+        # builder; probe ranges never reach them (tables clamp to n).
+        cols.append(jnp.where(iota < n, jnp.take(lj, sa_c, axis=0), 0))
+    return jnp.concatenate(cols)
+
+
+def alphabet_rank(present: np.ndarray):
+    """(rank[256] int32, sigma) for a boolean present-bytes mask.
+
+    ``rank[b] = 1 + #present bytes < b`` — the rank of b when present, its
+    insertion rank when absent; monotone in b either way, so rank-digit
+    prefix values stay non-decreasing in SA order.  Digit 0 is the past-end
+    pad; ``base - 1`` the +inf pad (callers pick base >= sigma + 2).
+    """
+    present = np.asarray(present, dtype=bool)
+    rank = np.zeros(256, dtype=np.int32)
+    rank[1:] = np.cumsum(present.astype(np.int32))[:-1]
+    return rank + 1, int(present.sum())
+
+
+def identity_rank():
+    """rank/present pair for the full-byte (base 258) digit table."""
+    return (
+        np.arange(1, 257, dtype=np.int32),
+        np.ones(256, dtype=np.int32),
+    )
+
+
+def build_seed_table_host(
+    data: np.ndarray, sa: np.ndarray, rank: np.ndarray, base: int, depth: int
+) -> np.ndarray:
+    """Ranked seed table: table[k] = first SA slot whose depth-digit
+    rank-prefix value is >= k.  Host (numpy) twin used at upload-mode load;
+    the base-258 identity-rank case reproduces build_bucket_table_host."""
+    size = base ** depth + 1
+    n = data.size
+    if n == 0:
+        return np.zeros(size, dtype=np.int32)
+    rk = rank.astype(np.int64)[data]
+    b = np.zeros(n, dtype=np.int64)
+    sa64 = sa.astype(np.int64)
+    for j in range(depth):
+        nxt = sa64 + j
+        dj = np.where(nxt < n, rk[np.minimum(nxt, n - 1)], 0)
+        b = b * base + dj
+    probes = np.arange(size, dtype=np.int64)
+    return np.searchsorted(b, probes, side='left').astype(np.int32)
+
+
+def build_seed_table_device(text, n, sa, rank, base: int, depth: int):
+    """Device twin of :func:`build_seed_table_host` via scatter-min (same
+    construction as build_bucket_table_device, rank digits instead of
+    byte+1 digits)."""
+    N = text.shape[0]
+    n = jnp.asarray(n, jnp.int32)
+    iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
+    d = jnp.where(iota < n, jnp.take(rank, text.astype(jnp.int32)), 0)
+    pv = jnp.zeros((N,), jnp.int32)
+    for j in range(depth):
+        pv = pv * base + jnp.where(iota + j < n, jnp.roll(d, -j), 0)
+    b = jnp.take(pv, jnp.clip(sa, 0, N - 1), axis=0)
+    size = base ** depth + 1
+    b = jnp.where(iota < n, b, size - 1)
+    first = jnp.full((size,), N, jnp.int32).at[b].min(iota, mode='drop')
+    table = lax.cummin(first, reverse=True)
+    return jnp.minimum(table, n)
+
+
+def _pattern_buckets_ranked(raw_both, lengths, thresholds, rank, present,
+                            base: int, depth: int):
+    """(bucket ids [2B], prefix_present [2B]) for duplex lanes.
+
+    Digits are alphabet ranks; lower lanes pad past-the-pattern digits with
+    0, upper with base-1.  A pattern byte ABSENT from the corpus alphabet
+    within the first ``depth`` bytes forces both lanes to the same id (its
+    insertion rank followed by 0-pads), which collapses the seeded range to
+    an empty range — count 0 with no probing.  (The collapsed POSITION may
+    be the colliding rank's bucket start rather than the pattern's exact
+    insertion slot; only counts are API-visible, and they are exact.)
+    """
+    B2, L = raw_both.shape
+    cols = min(L, depth)
+    ipos = lax.broadcasted_iota(jnp.int32, (B2, depth), 1)
+    bytes_d = jnp.zeros((B2, depth), jnp.int32)
+    bytes_d = bytes_d.at[:, :cols].set(raw_both[:, :cols].astype(jnp.int32))
+    r = jnp.take(rank, bytes_d.reshape(-1)).reshape(B2, depth)
+    pres = jnp.take(present, bytes_d.reshape(-1)).reshape(B2, depth) > 0
+    in_len = ipos < lengths[:, None]
+    bad = jnp.logical_and(in_len, ~pres)
+    first_bad = jnp.min(jnp.where(bad, ipos, depth), axis=1)
+    pad = jnp.where(thresholds > 0, base - 1, 0)
+    dj = jnp.where(in_len, r, pad[:, None])
+    dj = jnp.where(ipos == first_bad[:, None], r, dj)
+    dj = jnp.where(ipos > first_bad[:, None], 0, dj)
     bucket = jnp.zeros((B2,), jnp.int32)
     for j in range(depth):
-        dj = jnp.where(both_len >= j + 1, both[:, j], pad)
-        bucket = bucket * _RADIX + dj
-    lo0 = jnp.take(table, bucket, axis=0)
-    hi0 = jnp.take(table, bucket + 1, axis=0)
-    bounds = _bisect_first_geq(
-        text, n, sa, both, both_len, thresholds, lo0, hi0, steps
-    )
-    B = B2 // 2
-    lower = bounds[:B]
-    return lower, bounds[B:] - lower
+        bucket = bucket * base + dj[:, j]
+    prefix_present = first_bad >= jnp.minimum(lengths, depth)
+    return bucket, prefix_present
 
 
-# vmap over a stacked chunk axis: text [C, N_pad], n [C], sa [C, N_pad]
-probe_bounds_batch = jax.vmap(probe_bounds, in_axes=(0, 0, 0, None, None))
-build_bucket_table_batch = jax.vmap(build_bucket_table)
+def _raw_targets(patterns, lengths, thresholds, num_limbs: int, depth: int):
+    """(targets [2B, K] int32, k_lane [2B] int32) for duplex lanes.
 
-probe_bounds_jit = jax.jit(probe_bounds)
-probe_bounds_batch_jit = jax.jit(probe_bounds_batch)
-build_bucket_table_batch_jit = jax.jit(build_bucket_table_batch)
-
-
-@functools.lru_cache(maxsize=None)
-def bucketed_batch_jit(steps: int):
-    """Jitted chunk-vmapped bucketed probe for a static step count."""
-
-    def f(text, n, sa, table, patterns, lengths):
-        return probe_bounds_bucketed(
-            text, n, sa, table, patterns, lengths, steps
-        )
-
-    return jax.jit(jax.vmap(f, in_axes=(0, 0, 0, 0, None, None)))
-
-
-@functools.lru_cache(maxsize=None)
-def limbs_batch_jit(steps: int, deep_steps: int, num_limbs: int):
-    """Jitted chunk-vmapped limb-key probe (the production query path)."""
-
-    def f(text, n, sa, table, limbs, patterns, lengths):
-        return probe_bounds_limbs(
-            text, n, sa, table, limbs, patterns, lengths,
-            steps, deep_steps, num_limbs,
-        )
-
-    return jax.jit(jax.vmap(f, in_axes=(0, 0, 0, 0, 0, None, None)))
-
-
-@functools.lru_cache(maxsize=None)
-def repeated_limbs_probe_jit(steps: int, deep_steps: int, num_limbs: int,
-                             reps: int):
-    """Slope-measurement twin of limbs_batch_jit (see
-    repeated_bucketed_probe_jit for why slopes)."""
-
-    def f(text, n, sa, table, limbs, patterns, lengths):
-        total = jnp.int32(0)
-        for i in range(reps):
-            varied = ((patterns.astype(jnp.int32) + i) % 255).astype(
-                jnp.uint8
-            )
-            lo, cnt = jax.vmap(
-                lambda t, n_, s, tb, lb: probe_bounds_limbs(
-                    t, n_, s, tb, lb, varied, lengths,
-                    steps, deep_steps, num_limbs,
-                ),
-            )(text, n, sa, table, limbs)
-            total = total + jnp.sum(lo) + jnp.sum(cnt)
-        return total
-
-    return jax.jit(f)
-
-
-@functools.lru_cache(maxsize=None)
-def repeated_bucketed_probe_jit(steps: int, reps: int):
-    """One jit running ``reps`` pattern-varied bucketed probes back to back,
-    reduced to a scalar checksum.
-
-    Measurement primitive: this environment's remote runtime is fully
-    asynchronous (block_until_ready returns before device completion) and its
-    first D2H readback adds a large constant per-dispatch transport penalty.
-    True device time is therefore only observable as a *slope*:
-    ``(wall(reps=K) - wall(reps=1)) / (K - 1)`` with the scalar checksum
-    forcing completion.  bench.py uses exactly this.
+    Lower lanes pad past-the-pattern bytes with 0x00, upper with 0xFF; the
+    top byte of each limb is biased by -128 to match the stored encoding.
+    ``k_lane`` = number of limb phases the pattern needs (0 when it fits the
+    bucket digits; ``num_limbs`` when it extends past the packed coverage —
+    the deep text refinement takes over from there).
     """
+    B2, L = patterns.shape
+    width = raw_cover_bytes(num_limbs, depth)
+    pad = jnp.where(thresholds > 0, 255, 0)  # [2B]
+    cols = min(L, width)
+    ipos = lax.broadcasted_iota(jnp.int32, (B2, width), 1)
+    raw = jnp.zeros((B2, width), jnp.int32)
+    raw = raw.at[:, :cols].set(patterns[:, :cols].astype(jnp.int32))
+    byteval = jnp.where(ipos < lengths[:, None], raw, pad[:, None])
+    tgt = jnp.stack(
+        [
+            (byteval[:, depth + 4 * j] - 128) * 16777216
+            + byteval[:, depth + 4 * j + 1] * 65536
+            + byteval[:, depth + 4 * j + 2] * 256
+            + byteval[:, depth + 4 * j + 3]
+            for j in range(num_limbs)
+        ],
+        axis=1,
+    )
+    k_lane = jnp.clip(-(-(lengths - depth) // 4), 0, num_limbs)
+    return tgt, k_lane.astype(jnp.int32)
 
-    def f(text, n, sa, table, patterns, lengths):
-        total = jnp.int32(0)
-        for i in range(reps):
-            varied = ((patterns.astype(jnp.int32) + i) % 255).astype(
-                jnp.uint8
-            )
-            lo, cnt = jax.vmap(
-                lambda t, n_, s, tb: probe_bounds_bucketed(
-                    t, n_, s, tb, varied, lengths, steps
-                ),
-            )(text, n, sa, table)
-            total = total + jnp.sum(lo) + jnp.sum(cnt)
-        return total
 
-    return jax.jit(f)
+def probe_bounds_phased(text, n, sa, table, limbs_flat, rank, present,
+                        patterns, lengths, num_limbs: int = RAW_LIMBS,
+                        deep: bool = False):
+    """(lower, count) for a query batch via the phased raw-limb search.
+
+    One int32 gather per lane per while-iteration; phases descend limb by
+    limb through tie ranges (see the section comment above).  The seed
+    table's static length encodes its (base, depth); ``rank``/``present``
+    are the index's alphabet maps ([256] int32 each — identity_rank() for
+    base-258 tables).  ``deep`` (static) appends a text-window bisection for
+    patterns longer than the packed coverage.
+    """
+    n = jnp.asarray(n, jnp.int32)
+    both, both_len, thresholds = _duplex(patterns, lengths)
+    B = patterns.shape[0]
+    base, depth = table_params(table.shape[0])
+    raw_both = jnp.concatenate([patterns, patterns], axis=0).astype(jnp.uint8)
+    bucket, prefix_present = _pattern_buckets_ranked(
+        raw_both, both_len, thresholds, rank, present, base, depth
+    )
+    tgt, k_lane = _raw_targets(
+        raw_both, both_len, thresholds, num_limbs, depth
+    )
+    k_pair = k_lane[:B]  # equal across the duplex halves
+    # A pattern of exactly `depth` bytes is decided by the table alone, but
+    # its upper lane's bucket id equals the lower's (no pad digits) — bump it
+    # so the upper answer is the next bucket's start (first prefix > pattern).
+    # (Not when an absent byte already collapsed the ids on purpose.)
+    bump = jnp.logical_and(
+        jnp.logical_and(thresholds > 0, both_len == depth), prefix_present
+    )
+    lo0 = jnp.take(table, bucket + bump.astype(jnp.int32), axis=0)
+    hi0 = jnp.take(table, bucket + 1, axis=0)
+    Nk = limbs_flat.shape[0]
+    Ns = Nk // max(num_limbs, 1)
+    kcol = lax.broadcasted_iota(jnp.int32, (2 * B, num_limbs), 1)
+
+    # done / j are per PAIR [B]; lanes idle once their pair is done.
+    done0 = k_pair < 1  # bucket digits already decide these patterns
+    j0 = jnp.zeros((B,), jnp.int32)
+
+    def cond(state):
+        lo, hi, j, done = state
+        return jnp.any(~done)
+
+    def body(state):
+        lo, hi, j, done = state
+        j2 = jnp.concatenate([j, j])
+        done2 = jnp.concatenate([done, done])
+        mid = (lo + hi) // 2
+        idx = j2 * Ns + jnp.clip(mid, 0, Ns - 1)
+        v = jnp.take(limbs_flat, jnp.clip(idx, 0, Nk - 1), axis=0)
+        # target of the current phase: one-hot select along K (K tiny).
+        t = jnp.sum(
+            jnp.where(kcol == j2[:, None], tgt, 0), axis=1
+        )
+        pred = jnp.where(thresholds > 0, v > t, v >= t)
+        active = jnp.logical_and(lo < hi, ~done2)
+        hi = jnp.where(jnp.logical_and(active, pred), mid, hi)
+        lo = jnp.where(jnp.logical_and(active, ~pred), mid + 1, lo)
+        # Phase transition: both lanes of a pair converged.
+        conv = lo >= hi
+        pair_conv = jnp.logical_and(
+            jnp.logical_and(conv[:B], conv[B:]), ~done
+        )
+        A = lo[:B]
+        Z = lo[B:]
+        adv = jnp.logical_and(
+            pair_conv, jnp.logical_and(j + 1 < k_pair, A < Z)
+        )
+        done = jnp.logical_or(done, jnp.logical_and(pair_conv, ~adv))
+        j = j + adv.astype(jnp.int32)
+        adv2 = jnp.concatenate([adv, adv])
+        A2 = jnp.concatenate([A, A])
+        Z2 = jnp.concatenate([Z, Z])
+        lo = jnp.where(adv2, A2, lo)
+        hi = jnp.where(adv2, Z2, hi)
+        return lo, hi, j, done
+
+    lo, hi, _, _ = lax.while_loop(cond, body, (lo0, hi0, j0, done0))
+    if deep:
+        # Patterns longer than the packed coverage: continue on raw text
+        # within the key-resolved tie range.  Pairs already resolved start
+        # with empty ranges pinned at their final answers.
+        need = both_len[:B] > raw_cover_bytes(num_limbs, depth)
+        A = lo[:B]
+        Z = lo[B:]
+        l0 = jnp.concatenate([A, jnp.where(need, A, Z)], axis=0)
+        h0 = jnp.concatenate([jnp.where(need, Z, A), Z], axis=0)
+
+        def cond2(state):
+            lo, hi = state
+            return jnp.any(lo < hi)
+
+        def body2(state):
+            lo, hi = state
+            mid = (lo + hi) // 2
+            cmp = _cmp3(text, n, sa, mid, both, both_len)
+            pred = cmp >= thresholds
+            active = lo < hi
+            hi = jnp.where(jnp.logical_and(active, pred), mid, hi)
+            lo = jnp.where(jnp.logical_and(active, ~pred), mid + 1, lo)
+            return lo, hi
+
+        lo, _ = lax.while_loop(cond2, body2, (l0, h0))
+    lower = lo[:B]
+    return lower, lo[B:] - lower
+
+
+@functools.lru_cache(maxsize=None)
+def phased_batch_jit(deep: bool, num_limbs: int):
+    """Jitted chunk-vmapped phased probe — one compiled program per
+    (deep?, num_limbs, table shape), independent of corpus statistics.
+    rank/present are shared across chunks (union alphabet)."""
+
+    def f(text, n, sa, table, limbs, rank, present, patterns, lengths):
+        return probe_bounds_phased(
+            text, n, sa, table, limbs, rank, present, patterns, lengths,
+            num_limbs, deep,
+        )
+
+    return jax.jit(
+        jax.vmap(f, in_axes=(0, 0, 0, 0, 0, None, None, None, None))
+    )
 
 
 @functools.lru_cache(maxsize=None)

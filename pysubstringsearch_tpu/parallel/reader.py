@@ -62,35 +62,79 @@ class ShardedReader:
         # Host-built tables: the load path stays H2D-only (see models/index.py).
         from ..models.index import DeviceIndex
 
-        depth = 3 if max_n >= DeviceIndex.DEEP_TABLE_MIN_CHUNK else 2
-        host_tables = np.zeros(
-            (C, search_ops._RADIX ** depth + 1), dtype=np.int32
+        self._raw = all(
+            not bool(np.any(c.data == 0)) for c in self._chunks
         )
+        if self._raw:
+            pres = np.zeros(256, dtype=bool)
+            for c in self._chunks:
+                pres |= np.bincount(c.data, minlength=256)[:256] > 0
+            rank, sigma = search_ops.alphabet_rank(pres)
+            base, depth = search_ops.pick_table_params(sigma, max_n)
+        else:
+            rank, pres_i = search_ops.identity_rank()
+            pres = pres_i > 0
+            base = search_ops._RADIX
+            depth = 3 if max_n >= DeviceIndex.DEEP_TABLE_MIN_CHUNK else 2
+        host_tables = np.zeros((C, base ** depth + 1), dtype=np.int32)
         for i, c in enumerate(self._chunks):
-            host_tables[i] = search_ops.build_bucket_table_host(
-                c.data, c.suffix_array, depth
+            host_tables[i] = search_ops.build_seed_table_host(
+                c.data, c.suffix_array, rank, base, depth
             )
         self.tables = jax.device_put(host_tables, shard)
-        self.num_limbs = search_ops.KEY_LIMBS
+        self.rank = jnp.asarray(rank)
+        self.present = jnp.asarray(pres.astype(np.int32))
+        self._base, self._depth = base, depth
+        self.num_limbs = (
+            search_ops.RAW_LIMBS if self._raw else search_ops.KEY_LIMBS
+        )
         # Plane-major limb layout — see ops/search.py:_limb_cmp3.
         limbs = np.zeros((C, n_pad * self.num_limbs), dtype=np.int32)
         for i, c in enumerate(self._chunks):
-            k = search_ops.build_limbs_host(
-                c.data, c.suffix_array, self.num_limbs
-            )
+            if self._raw:
+                k = search_ops.build_raw_limbs_host(
+                    c.data, c.suffix_array, self.num_limbs, depth
+                )
+            else:
+                k = search_ops.build_limbs_host(
+                    c.data, c.suffix_array, self.num_limbs
+                )
             limbs[i] = search_ops.pad_limbs_host(k, n_pad)
         self.limbs = jax.device_put(limbs, shard)
         self._n_pad = n_pad
         self._C = C
 
     def _probe(self, patterns: np.ndarray, lengths: np.ndarray):
-        deep = patterns.shape[1] > search_ops.key_cover_bytes(self.num_limbs)
-        probe = search_ops.limbs_loop_batch_jit(deep, self.num_limbs)
-        lo, cnt = probe(
-            self.text, self.lengths, self.sa, self.tables, self.limbs,
-            jnp.asarray(patterns), jnp.asarray(lengths),
-        )
-        return np.asarray(lo), np.asarray(cnt)
+        if self._raw:
+            cover = search_ops.raw_cover_bytes(self.num_limbs, self._depth)
+            probe = search_ops.phased_batch_jit(
+                patterns.shape[1] > cover, self.num_limbs
+            )
+            lo, cnt = probe(
+                self.text, self.lengths, self.sa, self.tables, self.limbs,
+                self.rank, self.present,
+                jnp.asarray(patterns), jnp.asarray(lengths),
+            )
+        else:
+            cover = search_ops.key_cover_bytes(self.num_limbs)
+            probe = search_ops.limbs_loop_batch_jit(
+                patterns.shape[1] > cover, self.num_limbs
+            )
+            lo, cnt = probe(
+                self.text, self.lengths, self.sa, self.tables, self.limbs,
+                jnp.asarray(patterns), jnp.asarray(lengths),
+            )
+        lo, cnt = np.asarray(lo), np.asarray(cnt)
+        if self._raw:
+            jpos = np.arange(patterns.shape[1])[None, :]
+            has_nul = np.any(
+                (patterns == 0) & (jpos < np.asarray(lengths)[:, None]),
+                axis=1,
+            )
+            if has_nul.any():
+                lo = np.where(has_nul[None, :], 0, lo)
+                cnt = np.where(has_nul[None, :], 0, cnt)
+        return lo, cnt
 
     def _search_batch(self, patterns: typing.List[bytes]):
         if not patterns or not self._chunks:

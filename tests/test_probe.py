@@ -1,6 +1,8 @@
-"""Probe-kernel agreement tests: the bucketed fast path and the plain
-bisection must both match brute-force suffix counting on adversarial data
-(NUL bytes, high bytes, empty and over-long patterns)."""
+"""Probe-kernel agreement tests: the digit-limb fallback path (chunks
+containing NUL bytes) and the plain bisection must both match brute-force
+suffix counting on adversarial data (NUL bytes, high bytes, empty and
+over-long patterns).  The phased raw-limb production path has its own module
+(test_phased.py)."""
 
 import numpy as np
 import pytest
@@ -14,11 +16,11 @@ from pysubstringsearch_tpu.ops.search import (
     build_bucket_table_host,
     build_limbs_host,
     key_cover_bytes,
+    limbs_loop_batch_jit,
     pack_patterns,
     pad_limbs_host,
     probe_bounds,
-    probe_bounds_bucketed,
-    probe_bounds_limbs,
+    probe_bounds_limbs_loop,
 )
 from pysubstringsearch_tpu.ops.suffix_array import suffix_array_numpy, _pad_len
 
@@ -70,7 +72,7 @@ def sample_patterns(data: bytes, seed: int):
 
 
 @pytest.mark.parametrize('ci', range(len(CORPORA)))
-def test_plain_and_bucketed_match_brute_force(ci):
+def test_plain_and_limb_loop_match_brute_force(ci):
     data = CORPORA[ci]
     text, n, sa = device_args(data)
     pats = sample_patterns(data, ci)
@@ -87,38 +89,32 @@ def test_plain_and_bucketed_match_brute_force(ci):
         np.asarray(sa)[: len(data)],
     )
     np.testing.assert_array_equal(np.asarray(table), host_table)
-    lo_b, cnt_b = probe_bounds_bucketed(
-        text, n, sa, table, jnp.asarray(packed), jnp.asarray(lengths)
-    )
-    np.testing.assert_array_equal(np.asarray(cnt_b), expected)
-    # Both paths must agree on the ranges too, not just the counts.
-    np.testing.assert_array_equal(np.asarray(lo_b), np.asarray(lo_p))
 
-    # Limb-key probe (the production path), with and without deep phase.
+    # Digit-limb probe (production path for NUL-containing chunks), with
+    # and without deep refinement.
     limbs = build_limbs_host(
         np.frombuffer(data, dtype=np.uint8), np.asarray(sa)[: len(data)]
     )
     limbs_pad = pad_limbs_host(limbs, text.shape[0])
-    width = key_cover_bytes()
-    deep = 36 if packed.shape[1] > width else 0
-    lo_l, cnt_l = probe_bounds_limbs(
+    deep = packed.shape[1] > key_cover_bytes()
+    lo_l, cnt_l = probe_bounds_limbs_loop(
         text, n, sa, table, jnp.asarray(limbs_pad),
-        jnp.asarray(packed), jnp.asarray(lengths), 36, deep,
+        jnp.asarray(packed), jnp.asarray(lengths), deep,
     )
     np.testing.assert_array_equal(np.asarray(cnt_l), expected)
     np.testing.assert_array_equal(np.asarray(lo_l), np.asarray(lo_p))
     # Force the deep phase even when keys would suffice: must still agree.
-    lo_d, cnt_d = probe_bounds_limbs(
+    lo_d, cnt_d = probe_bounds_limbs_loop(
         text, n, sa, table, jnp.asarray(limbs_pad),
-        jnp.asarray(packed), jnp.asarray(lengths), 36, 36,
+        jnp.asarray(packed), jnp.asarray(lengths), True,
     )
     np.testing.assert_array_equal(np.asarray(cnt_d), expected)
     np.testing.assert_array_equal(np.asarray(lo_d), np.asarray(lo_p))
 
 
 def test_depth3_bucket_table_probe():
-    """The 3-byte bucket table (used for large chunks) must seed both probe
-    paths to the same results as the 2-byte table, including patterns
+    """The 3-byte bucket table (used for large chunks) must seed the digit
+    probe to the same results as the 2-byte table, including patterns
     shorter than the bucket depth (their pad digits hit empty buckets whose
     boundaries collapse to the exact answer)."""
     data = CORPORA[1] + b'\x00\xff' + CORPORA[0]
@@ -131,22 +127,20 @@ def test_depth3_bucket_table_probe():
     )
     dev3 = build_bucket_table(text, n, sa, 3)
     np.testing.assert_array_equal(np.asarray(dev3), table3)
-    lo_b, cnt_b = probe_bounds_bucketed(
-        text, n, sa, jnp.asarray(table3), jnp.asarray(packed),
-        jnp.asarray(lengths)
+    lo_p, cnt_p = probe_bounds(
+        text, n, sa, jnp.asarray(packed), jnp.asarray(lengths)
     )
-    np.testing.assert_array_equal(np.asarray(cnt_b), expected)
     limbs = build_limbs_host(
         np.frombuffer(data, dtype=np.uint8), np.asarray(sa)[: len(data)]
     )
     limbs_pad = pad_limbs_host(limbs, text.shape[0])
-    deep = 36 if packed.shape[1] > key_cover_bytes() else 0
-    lo_l, cnt_l = probe_bounds_limbs(
+    deep = packed.shape[1] > key_cover_bytes()
+    lo_l, cnt_l = probe_bounds_limbs_loop(
         text, n, sa, jnp.asarray(table3), jnp.asarray(limbs_pad),
-        jnp.asarray(packed), jnp.asarray(lengths), 36, deep,
+        jnp.asarray(packed), jnp.asarray(lengths), deep,
     )
     np.testing.assert_array_equal(np.asarray(cnt_l), expected)
-    np.testing.assert_array_equal(np.asarray(lo_l), np.asarray(lo_b))
+    np.testing.assert_array_equal(np.asarray(lo_l), np.asarray(lo_p))
 
 
 @pytest.mark.parametrize('width', [8, 11, 14, 17])
@@ -168,9 +162,9 @@ def test_limb_probe_truncated_gather_widths(width):
         np.frombuffer(data, dtype=np.uint8), np.asarray(sa)[: len(data)]
     )
     limbs_pad = pad_limbs_host(limbs, text.shape[0])
-    lo, cnt = probe_bounds_limbs(
+    lo, cnt = probe_bounds_limbs_loop(
         text, n, sa, table, jnp.asarray(limbs_pad),
-        jnp.asarray(packed), jnp.asarray(lengths), 36, 0,
+        jnp.asarray(packed), jnp.asarray(lengths), False,
     )
     np.testing.assert_array_equal(np.asarray(cnt), expected)
 
@@ -256,18 +250,9 @@ def test_device_table_and_limbs_match_host():
         assert not dev_l[:, n:].any()
 
 
-def test_loop_probe_matches_unrolled():
-    """The while_loop probe must produce the same bounds as the statically
-    unrolled probe (and both must satisfy brute force)."""
-    from pysubstringsearch_tpu.ops.search import (
-        build_bucket_table_host,
-        build_limbs_host,
-        limbs_batch_jit,
-        limbs_loop_batch_jit,
-        pack_patterns,
-        steps_for_width,
-    )
-
+def test_loop_probe_jit_batch():
+    """The jitted chunk-vmapped digit-limb probe must satisfy brute force on
+    a stacked single-chunk batch, deep on and off."""
     rng = np.random.default_rng(31)
     data = rng.integers(97, 103, size=4000, dtype=np.uint8)
     data[::41] = 0x0A
@@ -281,19 +266,13 @@ def test_loop_probe_matches_unrolled():
     table = build_bucket_table_host(data, sa, 2)[None]
     limbs = pad_limbs_host(build_limbs_host(data, sa, 5), N)[None]
     ns = np.array([n], np.int32)
-    # include long patterns to exercise the deep path in both forms
+    # include long patterns to exercise the deep path
     pats = [b'a', b'ab', b'abcabc', b'\n', b'', data[100:130].tobytes()]
     packed, lengths = pack_patterns(pats)
-    deep = packed.shape[1] > 17
-    steps = steps_for_width(int(np.diff(table[0]).max()))
-    lo_u, cnt_u = limbs_batch_jit(steps, steps if deep else 0, 5)(
-        text, ns, sa_p, table, limbs, packed, lengths
-    )
+    deep = packed.shape[1] > key_cover_bytes()
     lo_l, cnt_l = limbs_loop_batch_jit(deep, 5)(
         text, ns, sa_p, table, limbs, packed, lengths
     )
-    assert np.array_equal(np.asarray(lo_u), np.asarray(lo_l))
-    assert np.array_equal(np.asarray(cnt_u), np.asarray(cnt_l))
     for b, pat in enumerate(pats):
         want = sum(
             1 for i in range(n) if data.tobytes()[i:].startswith(pat)
