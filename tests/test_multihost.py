@@ -55,13 +55,13 @@ print(f'WORKER{pid}_OK', flush=True)
 '''
 
 
-def test_two_process_allgather(tmp_path):
+def _run_workers(tmp_path, script: str, nproc: int, timeout: int = 200):
     import socket
 
     with socket.socket() as s:
         s.bind(('127.0.0.1', 0))
         port = s.getsockname()[1]
-    script = WORKER.replace('%PORT%', str(port))
+    script = script.replace('%PORT%', str(port)).replace('%NPROC%', str(nproc))
     script_path = tmp_path / 'worker.py'
     script_path.write_text(script)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -75,14 +75,14 @@ def test_two_process_allgather(tmp_path):
             stderr=subprocess.STDOUT,
             text=True,
             env=env,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            cwd=repo_root,
         )
-        for pid in range(2)
+        for pid in range(nproc)
     ]
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=150)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -91,3 +91,66 @@ def test_two_process_allgather(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f'worker {pid} failed:\n{out}'
         assert f'WORKER{pid}_OK' in out
+    return outs
+
+
+def test_two_process_allgather(tmp_path):
+    _run_workers(tmp_path, WORKER, 2)
+
+
+# End-to-end multi-host search: build a real sharded-manifest index with
+# ShardedWriter, open a MultiHostReader per process (each loads only its
+# own shards), and compare the merged result multiset against a pure-python
+# ground truth — the distributed form of the reference's mutex merge
+# (src/lib.rs:205-284), which had no multi-process analogue at all.
+E2E_WORKER = r'''
+import collections, os, sys
+import numpy as np
+import jax
+jax.config.update('jax_platforms', 'cpu')
+
+pid = int(sys.argv[1])
+jax.distributed.initialize(
+    coordinator_address='127.0.0.1:%PORT%',
+    num_processes=%NPROC%,
+    process_id=pid,
+)
+from pysubstringsearch_tpu.parallel import manifest, multihost
+
+rng = np.random.default_rng(7)
+words = [
+    bytes(rng.integers(97, 105, size=int(l), dtype=np.uint8)).decode()
+    for l in rng.integers(3, 8, size=60)
+]
+lines = [
+    ' '.join(words[i] for i in rng.integers(0, 60, size=5))
+    for _ in range(3000)
+]
+d = os.path.join('%TMP%', 'mh-index')
+if pid == 0:
+    w = manifest.ShardedWriter(d, num_shards=%NPROC%, max_chunk_len=16384)
+    for ln in lines:
+        w.add_entry(ln)
+    w.close()
+    open(os.path.join('%TMP%', 'ready'), 'w').write('1')
+else:
+    import time
+    while not os.path.exists(os.path.join('%TMP%', 'ready')):
+        time.sleep(0.2)
+
+r = multihost.MultiHostReader(d)
+pats = [words[0], words[1][:3], 'zzzz', words[2] + ' ' + words[3]]
+for p in pats:
+    got = collections.Counter(r.search(p))
+    want = collections.Counter(ln for ln in lines if p in ln)
+    assert got == want, (p, len(got), len(want))
+sm = r.search_multiple(pats)
+assert len(sm) == sum(sum(p in ln for ln in lines) for p in pats)
+print(f'WORKER{pid}_OK', flush=True)
+'''
+
+
+@pytest.mark.parametrize('nproc', [2, 4])
+def test_multihost_reader_end_to_end(tmp_path, nproc):
+    script = E2E_WORKER.replace('%TMP%', str(tmp_path))
+    _run_workers(tmp_path, script, nproc)
