@@ -16,10 +16,13 @@ load-time concern.
 
 Extra metrics (build throughput, per-phase timings) go to stderr.
 
-Env knobs: BENCH_MB (corpus size, default 64), BENCH_QUERIES (default 10000),
-BENCH_CHUNK_MB (chunk size, default 512 — the reference's default chunking,
-src/lib.rs:57, giving one chunk for the default corpus; probe work scales
-with chunk count, so reference chunking is also the fastest query config).
+Env knobs: BENCH_MB (corpus size, default 500 — the reference's published
+headline config, README.md:43-51), BENCH_QUERIES (default 10000),
+BENCH_CHUNK_MB (chunk size, default 256 — a multi-chunk index at the default
+corpus size, exercising the vmapped chunk axis; the reference's own default
+chunking is 512 MiB, src/lib.rs:57, which puts 500 MB in one chunk — set
+BENCH_CHUNK_MB=512 to reproduce that configuration, it is faster since probe
+work scales with chunk count).
 
 Queries are random 4-12 byte substrings sampled at random corpus offsets
 (mostly unique — no dedup shortcut applies), patterned after the reference
@@ -98,9 +101,9 @@ def main():
     import pysubstringsearch_tpu as pss
     from pysubstringsearch_tpu.ops.search import pack_patterns
 
-    mb = int(os.environ.get('BENCH_MB', '64'))
+    mb = int(os.environ.get('BENCH_MB', '500'))
     nq = int(os.environ.get('BENCH_QUERIES', '10000'))
-    chunk_mb = int(os.environ.get('BENCH_CHUNK_MB', '512'))
+    chunk_mb = int(os.environ.get('BENCH_CHUNK_MB', '256'))
 
     corpus, words = make_corpus(mb)
     log(f'corpus: {len(corpus) / 1e6:.1f} MB')
@@ -142,8 +145,10 @@ def main():
     t0 = time.time()
     r = pss.Reader(idx_path)
     idx = r._index
+    load_s = time.time() - t0
     log(f'load ({idx.mode}, {idx.num_chunks} chunks, '
-        f'pad {idx.n_pad >> 20} MiB): {time.time() - t0:.2f}s')
+        f'pad {idx.n_pad >> 20} MiB, seed table base {idx._base}^'
+        f'{idx._depth}, {idx.num_limbs} raw limbs): {load_s:.2f}s')
 
     rng = np.random.default_rng(1)
     # Random 4-12 byte substrings at random offsets: realistic, mostly
@@ -156,7 +161,7 @@ def main():
 
     # ---- timed probes via the dispatch-slope method ----
     # Exactly ONE device program is compiled for the whole benchmark: the
-    # production probe (the same limbs_batch_jit the Reader uses).  Compiles
+    # production probe (the same phased_batch_jit the Reader uses).  Compiles
     # through this environment's remote tunnel cost minutes per distinct
     # program (persistently cached afterwards), so the old in-jit-repetition
     # slope — which needed a second, R-times-larger program — is replaced by
@@ -173,8 +178,10 @@ def main():
     t0 = time.time()
     lo, cnt = idx.probe_device(packed, lengths)
     checksum = int(cnt[0, 0]) + int(lo[0, 0])
-    log(f'probe warmup (compile+transport): {time.time() - t0:.2f}s, '
-        f'checksum {checksum}')
+    warmup_s = time.time() - t0
+    log(f'probe warmup (compile+transport): {warmup_s:.2f}s, '
+        f'checksum {checksum}; time-to-first-query '
+        f'{load_s + warmup_s:.1f}s')
 
     def run_k(k: int) -> float:
         t0 = time.time()
@@ -195,21 +202,20 @@ def main():
     log(f'{nq} queries: p50 {p50 * 1e3:.2f} ms/batch -> '
         f'{qps / 1e6:.3f} M queries/s (t1 {t1 * 1e3:.1f} tK {tK * 1e3:.1f})')
 
-    # ---- readback + end-to-end sanity (no new program shapes) ----
+    # ---- readback + FULL-batch host extraction (all nq patterns) ----
     lo_h, cnt_h = np.asarray(lo), np.asarray(cnt)
     total_hits = int(cnt_h.sum())
     t0 = time.time()
     nlines = 0
-    for b in range(20):
-        for c, chunk in enumerate(r._chunks):
-            count = int(cnt_h[c, b])
-            if count > 0:
-                positions = chunk.suffix_array[
-                    int(lo_h[c, b]) : int(lo_h[c, b]) + count
-                ]
-                nlines += len(r._tables[c].extract_unique_lines(positions))
-    log(f'total hits {total_hits}; line extraction for 20 patterns '
-        f'{(time.time() - t0) * 1e3:.1f} ms, {nlines} lines')
+    for c, chunk in enumerate(r._chunks):
+        per = r._tables[c].extract_lines_batch(
+            chunk.suffix_array, lo_h[c], cnt_h[c]
+        )
+        nlines += sum(len(v) for v in per.values())
+    ext_s = time.time() - t0
+    log(f'total hits {total_hits}; full line extraction for {nq} patterns '
+        f'{ext_s * 1e3:.1f} ms, {nlines} lines '
+        f'({nlines / max(ext_s, 1e-9) / 1e6:.2f} M lines/s)')
 
     # Reference equivalent: 497 us/query sequential (README.md:48-49).
     ref_10k = nq * 497e-6
