@@ -105,14 +105,30 @@ def read_chunks(index_file_path: str) -> typing.List[Chunk]:
     return chunks
 
 
+#: Rust RawVec's smallest non-zero capacity for 1-byte elements; part of the
+#: amortized-growth rule emulated below.
+_VEC_MIN_NON_ZERO_CAP = 8
+
+
 class ChunkBuffer:
     """Entry-accumulation buffer with the reference Writer's flush policy.
 
     Mirrors the observable behavior of the Rust Writer's ``Vec<u8>`` buffer
-    (src/lib.rs:88-103): an entry that would overflow ``max_chunk_len``
-    triggers a flush first; a single line longer than the capacity (only
-    possible through the file-lines path, src/lib.rs:67-86) still becomes its
-    own oversized chunk.
+    (src/lib.rs:88-103): an entry that would overflow the capacity triggers
+    a flush first; a single line longer than the capacity (only possible
+    through the file-lines path, src/lib.rs:67-86) still becomes its own
+    oversized chunk.
+
+    Capacity-growth quirk parity: in the reference the flush threshold is
+    the live ``Vec::capacity()``, and an oversized line *permanently grows*
+    it — ``extend_from_slice``/``push`` reserve via Rust's amortized rule
+    ``new_cap = max(2 * cap, required, 8)`` and ``buffer.clear()`` in
+    ``dump_data`` (src/lib.rs:121) never shrinks.  Every later flush (and
+    ``add_entry``'s "entry is too big" guard, src/lib.rs:92-94) compares
+    against the grown capacity, so chunk boundaries for the rest of that
+    Writer's life shift.  ``append`` emulates the two reserve steps (entry
+    bytes, then the ``\\n`` push) so container bytes match the reference
+    even after oversized lines.
     """
 
     def __init__(self, max_chunk_len: typing.Optional[int] = None) -> None:
@@ -128,10 +144,19 @@ class ChunkBuffer:
     def would_overflow(self, entry_len: int) -> bool:
         return self._size + entry_len + 1 > self.capacity
 
+    def _reserve(self, required: int) -> None:
+        if required > self.capacity:
+            self.capacity = max(
+                2 * self.capacity, required, _VEC_MIN_NON_ZERO_CAP
+            )
+
     def append(self, entry: bytes) -> None:
+        self._reserve(self._size + len(entry))
         self._parts.append(entry)
+        self._size += len(entry)
+        self._reserve(self._size + 1)
         self._parts.append(b'\n')
-        self._size += len(entry) + 1
+        self._size += 1
 
     def take(self) -> np.ndarray:
         """Return the buffered bytes as uint8 and reset the buffer."""

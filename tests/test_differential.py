@@ -188,28 +188,36 @@ def test_sharded_and_multihost_agree_with_reader(built_index, tmp_path):
         assert collections.Counter(mh.search(p)) == want
 
 
-def test_writer_capacity_policy_on_oversized_lines(tmp_path):
-    """Deliberate, documented deviation from the reference: an oversized
-    line ingested via add_entries_from_file_lines grows the reference
-    Writer's Vec capacity PERMANENTLY (src/lib.rs:75-79 + Rust Vec growth),
-    raising the flush threshold for the rest of that Writer's life; our
-    ChunkBuffer keeps the configured capacity.  Chunk BOUNDARIES may differ
-    after an oversized line, but every chunk remains a valid container
-    record and result multisets are identical — which is what the reference
-    test suite checks (assertCountEqual).  This test pins the observable
-    contract: the oversized line forms its own chunk and all searches stay
-    exact."""
+def test_writer_capacity_growth_quirk_parity(tmp_path):
+    """Capacity-growth quirk parity (src/lib.rs:75-79): an oversized line
+    ingested via add_entries_from_file_lines permanently GROWS the reference
+    Writer's Vec capacity under Rust's amortized rule
+    ``max(2 * cap, required, 8)`` — two reserve steps, line bytes then the
+    newline push — raising the flush threshold (and add_entry's "entry is
+    too big" guard, src/lib.rs:92-94) for the rest of that Writer's life.
+    ChunkBuffer emulates this exactly, so chunk boundaries (container
+    bytes) match the reference even after oversized lines."""
     lines = [b'short one', b'x' * 5000, b'tail entry', b'short one']
     src = tmp_path / 'in.txt'
     src.write_bytes(b'\n'.join(lines) + b'\n')
     path = str(tmp_path / 'cap.idx')
     w = pss.Writer(path, max_chunk_len=64)
     w.add_entries_from_file_lines(str(src))
+    # Vec trace: extend(5000 bytes) grows 64 -> max(128, 5000) = 5000;
+    # push(b'\n') grows 5000 -> max(10000, 5001) = 10000.
+    assert w._buffer.capacity == 10000
+    # The grown threshold also governs add_entry's too-big guard.
+    w.add_entry('y' * 6000)  # would raise against the configured 64
+    with pytest.raises(ValueError):
+        w.add_entry('z' * 10001)
     w.finalize()
     chunks = container.read_chunks(path)
-    # The 5000-byte line exceeds the 64-byte capacity: it must form its own
-    # (oversized) chunk, like the reference's grown Vec would hold it.
-    assert any(c.data.size == 5001 for c in chunks)
+    # Chunk 1 flushed before the oversized line; the oversized line plus the
+    # two following short lines fit the grown 10000-byte capacity and land
+    # in ONE chunk (5001 + 11 + 10 bytes) — under the configured 64-byte
+    # threshold each would have flushed separately.  The 6001-byte entry
+    # overflows the grown buffer's remaining space and flushes it first.
+    assert [c.data.size for c in chunks] == [10, 5022, 6001]
     r = pss.Reader(path)
     assert collections.Counter(r.search('short one')) == collections.Counter(
         ['short one', 'short one']
