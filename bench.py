@@ -115,31 +115,46 @@ def main():
     # benchmark.  The reference's published numbers specify no hardware at
     # all; ours measure the framework, with the index on RAM-backed storage.
     tmp_root = '/dev/shm' if os.path.isdir('/dev/shm') else None
-    d = tempfile.mkdtemp(dir=tmp_root)
+    # BENCH_IDX_CACHE=<dir>: reuse a previously built index for this
+    # (mb, chunk_mb) config — iteration on the query path without paying
+    # the build each run.  Build numbers are only reported for fresh builds.
+    cache_dir = os.environ.get('BENCH_IDX_CACHE')
+    if cache_dir:
+        d = os.path.join(cache_dir, f'bench-{mb}mb-{chunk_mb}chunk')
+        os.makedirs(d, exist_ok=True)
+    else:
+        d = tempfile.mkdtemp(dir=tmp_root)
     corpus_path = os.path.join(d, 'corpus.txt')
-    with open(corpus_path, 'wb') as f:
-        f.write(corpus)
     idx_path = os.path.join(d, 'bench.idx')
+    cached = cache_dir and os.path.exists(idx_path)
+    if cached:
+        log(f'reusing cached index {idx_path} '
+            f'({os.path.getsize(idx_path) / 1e6:.1f} MB); '
+            'build metrics not re-measured')
+        build_s = None
+    else:
+        with open(corpus_path, 'wb') as f:
+            f.write(corpus)
 
-    # ---- index build (write path, quarantined subprocess) ----
-    t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), '--build',
-         corpus_path, idx_path, str(chunk_mb)],
-        capture_output=True, text=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
-    if proc.returncode != 0:
-        log('BUILD FAILED:', proc.stderr[-2000:])
-        sys.exit(1)
-    for line in proc.stderr.splitlines():
-        if line.startswith('writer phases'):
-            log(line)
-    build_s = json.loads(proc.stdout.strip().splitlines()[-1])['build_s']
-    build_mbps = len(corpus) / 1e6 / build_s
-    log(f'build: {build_s:.2f}s -> {build_mbps:.1f} MB/s '
-        f'(index {os.path.getsize(idx_path) / 1e6:.1f} MB, '
-        f'subprocess wall {time.time() - t0:.1f}s)')
+        # ---- index build (write path, quarantined subprocess) ----
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--build',
+             corpus_path, idx_path, str(chunk_mb)],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if proc.returncode != 0:
+            log('BUILD FAILED:', proc.stderr[-2000:])
+            sys.exit(1)
+        for line in proc.stderr.splitlines():
+            if line.startswith('writer phases'):
+                log(line)
+        build_s = json.loads(proc.stdout.strip().splitlines()[-1])['build_s']
+        build_mbps = len(corpus) / 1e6 / build_s
+        log(f'build: {build_s:.2f}s -> {build_mbps:.1f} MB/s '
+            f'(index {os.path.getsize(idx_path) / 1e6:.1f} MB, '
+            f'subprocess wall {time.time() - t0:.1f}s)')
 
     # ---- load (H2D only; no readbacks before the timed probes) ----
     t0 = time.time()
@@ -225,8 +240,9 @@ def main():
         'unit': 'ms',
         'vs_baseline': round(ref_10k / p50, 2),
     }
-    log(f'extras: build_mbps={build_mbps:.2f} '
-        f'total_wall={time.time() - t_start:.1f}s')
+    if build_s is not None:
+        log(f'extras: build_mbps={build_mbps:.2f} '
+            f'total_wall={time.time() - t_start:.1f}s')
     print(json.dumps(result), flush=True)
 
 

@@ -70,12 +70,12 @@ class DeviceIndex:
         # Raw 4-byte limb packing needs NUL-free text (ops/search.py phased-
         # probe section); chunks containing 0x00 use base-258 digit limbs.
         self.raw = all(not bool(np.any(c.data == 0)) for c in chunks)
-        if num_limbs is None:
-            num_limbs = self._auto_num_limbs(chunks)
-        self.num_limbs = num_limbs
         if self.num_chunks == 0:
+            self.num_limbs = (
+                search_ops.RAW_LIMBS if num_limbs is None else num_limbs
+            )
             self.n_pad = 8
-            self._depth = 2
+            self._base, self._depth = search_ops._RADIX, 2
             self.text = jnp.zeros((0, 8), jnp.uint8)
             self.sa = jnp.zeros((0, 8), jnp.int32)
             self.lengths = jnp.zeros((0,), jnp.int32)
@@ -108,6 +108,9 @@ class DeviceIndex:
         self._rank_host = rank
         self.rank = jnp.asarray(rank)
         self.present = jnp.asarray(pres.astype(np.int32))
+        if num_limbs is None:
+            num_limbs = self._auto_num_limbs(chunks)
+        self.num_limbs = num_limbs
         if mode == 'derive':
             self._init_derive(chunks, n_pad, depth)
         else:
@@ -134,23 +137,31 @@ class DeviceIndex:
         budget (capped at RAW_LIMBS / KEY_LIMBS for raw / digit packing).
 
         Per chunk of n_pad chars the index holds text (1 B) + SA (4 B) +
-        num_limbs limb planes (4 B each) + the bucket table.  More limbs =
+        num_limbs limb planes (4 B each) + the seed table.  More limbs =
         longer pattern prefixes resolved in packed key space (fewer
         raw-text window gathers), so take as many as fit; at least 1 is kept
         — if even that overflows, the corpus needs more chips
         (parallel.ShardedReader), not a thinner index.
+
+        In derive mode the binding constraint is the aux build's peak, not
+        the final resident set: per chunk it materializes one limb-plane row
+        (4 * num_limbs * n_pad) plus ~8 * n_pad of builder scratch alongside
+        the full stacked buffers, so the fit divides by (C + 1) rows and
+        reserves the scratch.
         """
         cap = search_ops.RAW_LIMBS if self.raw else search_ops.KEY_LIMBS
         if not chunks:
             return cap
         max_n = max(c.data.size for c in chunks)
         n_pad = _pad_len(max_n + search_ops.PAD_MARGIN)
-        depth = 3 if max_n >= self.DEEP_TABLE_MIN_CHUNK else 2
         C = len(chunks)
-        table_bytes = 4 * (search_ops._RADIX ** depth + 1)
+        table_bytes = 4 * (self._base ** self._depth + 1)
         base = C * (5 * n_pad + table_bytes)
         budget = self._device_hbm_budget()
-        fit = (budget - base) // (4 * C * n_pad)
+        if self.mode == 'derive':
+            fit = (budget - base - 8 * n_pad) // (4 * n_pad * (C + 1))
+        else:
+            fit = (budget - base) // (4 * C * n_pad)
         return int(max(1, min(cap, fit)))
 
     def _init_upload(self, chunks, n_pad, depth):
@@ -189,31 +200,55 @@ class DeviceIndex:
         # Two dispatches per chunk, not one fused program: SA-build scratch
         # and the [N, num_limbs] limb matrix must not be live simultaneously
         # (see derive_sa_jit docstring — fused exceeds HBM at reference
-        # chunk sizes).
+        # chunk sizes).  HBM discipline: stacked buffers are preallocated
+        # and filled with DONATED row writes (a jnp.stack at the end would
+        # transiently double the largest array — measured OOM at 2x256 MiB
+        # chunks), and the limb planes are not allocated until every chunk's
+        # SA-build scratch (the other big transient) has been and gone.
         derive_sa = search_ops.derive_sa_jit()
-        if self.raw:
-            aux_raw = search_ops.derive_aux_raw_jit(
-                self.num_limbs, self._base, depth
-            )
-            derive_aux = lambda t, n, sa: aux_raw(t, n, sa, self.rank)
-        else:
-            derive_aux = search_ops.derive_aux_jit(self.num_limbs, depth)
-        texts, sas, limbs, tables = [], [], [], []
-        for c in chunks:
+        set_row = search_ops.set_row_jit()
+        C = self.num_chunks
+        # Pass 1 — text upload + device SA per chunk.
+        texts = jnp.zeros((C, n_pad), jnp.uint8)
+        sas = jnp.zeros((C, n_pad), jnp.int32)
+        for i, c in enumerate(chunks):
             row = np.zeros((n_pad,), dtype=np.uint8)
             row[: c.data.size] = c.data
             t = jnp.asarray(row)
-            n = jnp.int32(c.data.size)
-            sa = derive_sa(t, n)
-            lb, tb = derive_aux(t, n, sa)
-            texts.append(t)
-            sas.append(sa)
-            limbs.append(lb)
-            tables.append(tb)
-        self.text = jnp.stack(texts)
-        self.sa = jnp.stack(sas)
-        self.limbs = jnp.stack(limbs)
-        self.tables = jnp.stack(tables)
+            texts = set_row(texts, jnp.int32(i), t)
+            sa = derive_sa(t, jnp.int32(c.data.size))
+            sas = set_row(sas, jnp.int32(i), sa)
+            del t, sa
+        # Pass 2 — limb planes + seed tables, written straight into the
+        # donated stacked buffers (one plane per dispatch keeps the HBM
+        # transient to one plane's scratch).
+        limbs = jnp.zeros((C, n_pad * self.num_limbs), jnp.int32)
+        tables = jnp.zeros((C, self._base ** self._depth + 1), jnp.int32)
+        if self.raw:
+            limb_into = search_ops.derive_limb_raw_jit(depth)
+            table_into = search_ops.derive_table_raw_jit(self._base, depth)
+            for i, c in enumerate(chunks):
+                n_i = jnp.int32(c.data.size)
+                t_i, sa_i = texts[i], sas[i]
+                for j in range(self.num_limbs):
+                    limbs = limb_into(limbs, jnp.int32(i), j, t_i, n_i, sa_i)
+                tables = table_into(
+                    tables, jnp.int32(i), t_i, n_i, sa_i, self.rank
+                )
+                del t_i, sa_i
+        else:
+            derive_aux = search_ops.derive_aux_jit(self.num_limbs, depth)
+            for i, c in enumerate(chunks):
+                lb, tb = derive_aux(
+                    texts[i], jnp.int32(c.data.size), sas[i]
+                )
+                limbs = set_row(limbs, jnp.int32(i), lb)
+                tables = set_row(tables, jnp.int32(i), tb)
+                del lb, tb
+        self.text = texts
+        self.sa = sas
+        self.limbs = limbs
+        self.tables = tables
 
     def probe_device(
         self,

@@ -595,17 +595,19 @@ def derive_aux_jit(num_limbs: int, depth: int):
 
 
 @functools.lru_cache(maxsize=None)
-def derive_aux_raw_jit(num_limbs: int, base: int, depth: int):
-    """Raw-limb twin of :func:`derive_aux_jit` (NUL-free chunks — see the
-    phased-probe section comment).  Builds the alphabet-ranked seed table;
-    ``rank`` is the index's [256] int32 rank map."""
+def set_row_jit():
+    """Donated in-place row write ``buf.at[i].set(row)``.
 
-    def f(text, n, sa, rank):
-        limbs = build_raw_limbs_device(text, n, sa, num_limbs, depth)
-        table = build_seed_table_device(text, n, sa, rank, base, depth)
-        return limbs, table
+    The derive load path fills stacked [C, ...] device buffers one chunk at
+    a time; donation lets XLA alias the output to the input buffer so the
+    write costs one row, not a second buffer-sized allocation (a trailing
+    ``jnp.stack`` transiently doubles the largest resident array — measured
+    OOM at 2 x 256 MiB chunks with 3 limb planes on a 16 GB chip)."""
 
-    return jax.jit(f)
+    def f(buf, i, row):
+        return buf.at[i].set(row)
+
+    return jax.jit(f, donate_argnums=(0,))
 
 
 # ---------------------------------------------------------------------------
@@ -709,6 +711,53 @@ def build_raw_limbs_device(text, n, sa, num_limbs: int = RAW_LIMBS,
         # builder; probe ranges never reach them (tables clamp to n).
         cols.append(jnp.where(iota < n, jnp.take(lj, sa_c, axis=0), 0))
     return jnp.concatenate(cols)
+
+
+@functools.lru_cache(maxsize=None)
+def derive_limb_raw_jit(depth: int):
+    """One raw limb plane, written straight into the stacked limb buffer.
+
+    ``(buf [C, K*N], i, j, text [N], n, sa [N]) -> buf`` with plane j of
+    chunk i filled; ``buf`` is DONATED.  The per-plane split (vs one program
+    materializing all K planes + a concat + a row copy) keeps the aux
+    build's HBM transient to one plane's scratch — the all-at-once form
+    exceeded 16 GB at 2 x 256 MiB chunks (FAILED_PRECONDITION surfaced at
+    the first readback)."""
+
+    def f(buf, i, j, text, n, sa):
+        N = text.shape[0]
+        n = jnp.asarray(n, jnp.int32)
+        iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
+        b = jnp.where(iota < n, text.astype(jnp.int32), 0)
+
+        def shifted(o):
+            return jnp.where(iota + o < n, jnp.roll(b, -o), 0)
+
+        o = depth + 4 * j
+        lj = (
+            (shifted(o) - 128) * 16777216
+            + shifted(o + 1) * 65536
+            + shifted(o + 2) * 256
+            + shifted(o + 3)
+        )
+        col = jnp.where(iota < n, jnp.take(lj, jnp.clip(sa, 0, N - 1)), 0)
+        return lax.dynamic_update_slice(buf, col[None], (i, j * N))
+
+    # j is static: the shift offsets feeding the roll must be trace-time
+    # constants for XLA to fuse the byte packing.
+    return jax.jit(f, static_argnums=(2,), donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def derive_table_raw_jit(base: int, depth: int):
+    """Seed table of chunk i, written into the stacked table buffer
+    (DONATED) — the table-only twin of :func:`derive_limb_raw_jit`."""
+
+    def f(buf, i, text, n, sa, rank):
+        table = build_seed_table_device(text, n, sa, rank, base, depth)
+        return lax.dynamic_update_slice(buf, table[None], (i, 0))
+
+    return jax.jit(f, donate_argnums=(0,))
 
 
 def alphabet_rank(present: np.ndarray):
