@@ -886,17 +886,166 @@ def _raw_targets(patterns, lengths, thresholds, num_limbs: int, depth: int):
     return tgt, k_lane.astype(jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# Rank-packed limbs — small-alphabet corpora (the common case)
+# ---------------------------------------------------------------------------
+#
+# When the corpus alphabet has sigma distinct bytes, each byte's rank fits
+# ceil(log2(sigma + 2)) bits (two pad digits: 0 = past-end, all-ones = +inf),
+# so one int32 limb carries 30 // bits ranked bytes instead of 4 raw ones —
+# SIX bytes per gather at sigma <= 30 (natural text), FIVE at sigma <= 62.
+# Wider coverage per limb means fewer phases per query (a 12-byte pattern is
+# one phase after a depth-5 seed, not two), and rank digits encode past-end
+# exactly, so NUL bytes in the text need no special casing (unlike the raw
+# packing above).  One caveat: a pattern byte ABSENT from the alphabet maps
+# to its insertion rank, which collides with the next present byte — digit
+# order diverges from byte order there, so such patterns' counts are forced
+# to 0 after the loop (they cannot match by definition; `bad` below).
+
+
+def ranked_bits(sigma: int) -> typing.Optional[int]:
+    """Bits per rank digit for the packed-rank limb encoding, or None when
+    the alphabet is too large for it to beat raw byte packing."""
+    if sigma <= 30:
+        return 5
+    if sigma <= 62:
+        return 6
+    return None
+
+
+def ranked_limb_bytes(bits: int) -> int:
+    return 30 // bits
+
+
+def ranked_cover_bytes(num_limbs: int, depth: int, bits: int) -> int:
+    return depth + ranked_limb_bytes(bits) * num_limbs
+
+
+def build_ranked_limbs_host(
+    data: np.ndarray, sa: np.ndarray, rank: np.ndarray,
+    num_limbs: int, depth: int, bits: int,
+) -> np.ndarray:
+    """[num_limbs, n] int32 rank-packed prefix keys, plane-major.
+
+    Limb j of slot i packs the rank digits of text bytes
+    ``sa[i]+depth+D*j .. +D-1`` (D = 30 // bits) big-endian at ``bits`` bits
+    per digit; past-the-end digits are 0."""
+    n = data.size
+    D = ranked_limb_bytes(bits)
+    if n == 0:
+        return np.zeros((num_limbs, 0), dtype=np.int32)
+    width = depth + D * num_limbs
+    dig = np.zeros(n + width, dtype=np.int64)
+    dig[:n] = rank.astype(np.int64)[data]
+    out = np.empty((num_limbs, n), dtype=np.int32)
+    base_off = sa.astype(np.int64) + depth
+    for j in range(num_limbs):
+        o = base_off + D * j
+        v = np.zeros(n, dtype=np.int64)
+        for i in range(D):
+            v = (v << bits) + dig[o + i]
+        out[j] = v.astype(np.int32)
+    return out
+
+
+def build_ranked_limbs_device(text, n, sa, rank, num_limbs: int,
+                              depth: int, bits: int):
+    """Device twin of :func:`build_ranked_limbs_host` (all planes; tests and
+    small chunks — the derive path uses the per-plane
+    :func:`derive_limb_ranked_jit` to bound HBM transients)."""
+    N = text.shape[0]
+    cols = [
+        _ranked_limb_col_device(text, n, sa, rank, j, depth, bits)
+        for j in range(num_limbs)
+    ]
+    del N
+    return jnp.concatenate(cols)
+
+
+def _ranked_limb_col_device(text, n, sa, rank, j: int, depth: int,
+                            bits: int):
+    N = text.shape[0]
+    D = ranked_limb_bytes(bits)
+    n = jnp.asarray(n, jnp.int32)
+    iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
+    d = jnp.where(iota < n, jnp.take(rank, text.astype(jnp.int32)), 0)
+
+    def shifted(o):
+        return jnp.where(iota + o < n, jnp.roll(d, -o), 0)
+
+    o = depth + D * j
+    lj = jnp.zeros((N,), jnp.int32)
+    for i in range(D):
+        lj = (lj << bits) + shifted(o + i)
+    return jnp.where(iota < n, jnp.take(lj, jnp.clip(sa, 0, N - 1)), 0)
+
+
+@functools.lru_cache(maxsize=None)
+def derive_limb_ranked_jit(depth: int, bits: int):
+    """Ranked twin of :func:`derive_limb_raw_jit`: one rank-packed limb
+    plane written straight into the DONATED stacked limb buffer."""
+
+    def f(buf, i, j, text, n, sa, rank):
+        N = text.shape[0]
+        col = _ranked_limb_col_device(text, n, sa, rank, j, depth, bits)
+        return lax.dynamic_update_slice(buf, col[None], (i, j * N))
+
+    return jax.jit(f, static_argnums=(2,), donate_argnums=(0,))
+
+
+def _ranked_targets(patterns, lengths, thresholds, rank, present,
+                    num_limbs: int, depth: int, bits: int):
+    """(targets [2B, K] int32, k_lane [2B], bad [2B] bool) for duplex lanes.
+
+    Digits are alphabet ranks packed ``bits`` per digit; lower lanes pad
+    past-the-pattern digits with 0, upper with the all-ones +inf digit.
+    ``bad`` marks lanes whose pattern contains a byte absent from the
+    alphabet within the packed coverage — their digit-space bounds are not
+    byte-order-exact (rank collision), and the caller forces their counts
+    to 0 (such patterns cannot match).
+    """
+    B2, L = patterns.shape
+    D = ranked_limb_bytes(bits)
+    width = depth + D * num_limbs
+    pad = jnp.where(thresholds > 0, (1 << bits) - 1, 0)  # [2B]
+    cols = min(L, width)
+    ipos = lax.broadcasted_iota(jnp.int32, (B2, width), 1)
+    raw = jnp.zeros((B2, width), jnp.int32)
+    raw = raw.at[:, :cols].set(patterns[:, :cols].astype(jnp.int32))
+    in_len = ipos < lengths[:, None]
+    r = jnp.take(rank, raw.reshape(-1)).reshape(B2, width)
+    pres = jnp.take(present, raw.reshape(-1)).reshape(B2, width) > 0
+    digit = jnp.where(in_len, r, pad[:, None])
+    tgt = jnp.stack(
+        [
+            functools.reduce(
+                lambda acc, i, j=j: (acc << bits) + digit[:, depth + D * j + i],
+                range(D),
+                jnp.zeros((B2,), jnp.int32),
+            )
+            for j in range(num_limbs)
+        ],
+        axis=1,
+    )
+    k_lane = jnp.clip(-(-(lengths - depth) // D), 0, num_limbs)
+    bad = jnp.any(jnp.logical_and(in_len, ~pres), axis=1)
+    return tgt, k_lane.astype(jnp.int32), bad
+
+
 def probe_bounds_phased(text, n, sa, table, limbs_flat, rank, present,
                         patterns, lengths, num_limbs: int = RAW_LIMBS,
-                        deep: bool = False):
-    """(lower, count) for a query batch via the phased raw-limb search.
+                        deep: bool = False,
+                        bits: typing.Optional[int] = None):
+    """(lower, count) for a query batch via the phased packed-limb search.
 
     One int32 gather per lane per while-iteration; phases descend limb by
     limb through tie ranges (see the section comment above).  The seed
     table's static length encodes its (base, depth); ``rank``/``present``
     are the index's alphabet maps ([256] int32 each — identity_rank() for
     base-258 tables).  ``deep`` (static) appends a text-window bisection for
-    patterns longer than the packed coverage.
+    patterns longer than the packed coverage.  ``bits`` (static) selects the
+    limb encoding: None = raw 4-byte packing (NUL-free text only), else
+    rank-packed digits at ``bits`` bits (30 // bits bytes per limb).
     """
     n = jnp.asarray(n, jnp.int32)
     both, both_len, thresholds = _duplex(patterns, lengths)
@@ -906,9 +1055,19 @@ def probe_bounds_phased(text, n, sa, table, limbs_flat, rank, present,
     bucket, prefix_present = _pattern_buckets_ranked(
         raw_both, both_len, thresholds, rank, present, base, depth
     )
-    tgt, k_lane = _raw_targets(
-        raw_both, both_len, thresholds, num_limbs, depth
-    )
+    if bits is None:
+        cover = raw_cover_bytes(num_limbs, depth)
+        tgt, k_lane = _raw_targets(
+            raw_both, both_len, thresholds, num_limbs, depth
+        )
+        bad_pair = None
+    else:
+        cover = ranked_cover_bytes(num_limbs, depth, bits)
+        tgt, k_lane, bad = _ranked_targets(
+            raw_both, both_len, thresholds, rank, present,
+            num_limbs, depth, bits,
+        )
+        bad_pair = bad[:B]
     k_pair = k_lane[:B]  # equal across the duplex halves
     # A pattern of exactly `depth` bytes is decided by the table alone, but
     # its upper lane's bucket id equals the lower's (no pad digits) — bump it
@@ -970,7 +1129,7 @@ def probe_bounds_phased(text, n, sa, table, limbs_flat, rank, present,
         # Patterns longer than the packed coverage: continue on raw text
         # within the key-resolved tie range.  Pairs already resolved start
         # with empty ranges pinned at their final answers.
-        need = both_len[:B] > raw_cover_bytes(num_limbs, depth)
+        need = both_len[:B] > cover
         A = lo[:B]
         Z = lo[B:]
         l0 = jnp.concatenate([A, jnp.where(need, A, Z)], axis=0)
@@ -992,19 +1151,68 @@ def probe_bounds_phased(text, n, sa, table, limbs_flat, rank, present,
 
         lo, _ = lax.while_loop(cond2, body2, (l0, h0))
     lower = lo[:B]
-    return lower, lo[B:] - lower
+    count = lo[B:] - lower
+    if bad_pair is not None:
+        # Rank collision: a pattern byte absent from the alphabet shares its
+        # insertion rank with the next present byte, so digit-space bounds
+        # are not byte-order-exact there.  Such patterns cannot match —
+        # force the API-visible count to 0 (deep lanes self-correct, but the
+        # packed-coverage lanes need this).
+        count = jnp.where(bad_pair, 0, count)
+    return lower, count
 
 
 @functools.lru_cache(maxsize=None)
-def phased_batch_jit(deep: bool, num_limbs: int):
+def phased_grouped_jit(num_limbs: int, B: int, spec: tuple,
+                       bits: typing.Optional[int] = None):
+    """ONE program running every phase-class sub-probe of a grouped batch.
+
+    The phased ``while_loop`` bills every lane for the slowest lane, and a
+    lane's iteration count is set by its phase class (a host-known function
+    of pattern length) — so the caller splits the batch into per-class
+    sub-batches and this program runs one while_loop per class, each exiting
+    at ITS class's depth, then scatters the sub-results back into the
+    [C, B] output (pad lanes carry index B: dropped).  Fused into a single
+    dispatch because per-class dispatches measured 10x worse through this
+    environment's remote tunnel (each re-sent its operands).
+
+    ``spec`` = ((Bk, width, deep), ...) per class; operands after the index
+    arrays are (patterns [Bk, width] uint8, lengths [Bk] int32, idx [Bk]
+    int32) triples in spec order.
+    """
+
+    def f(text, n, sa, table, limbs, rank, present, *flat):
+        C = text.shape[0]
+        lo = jnp.zeros((C, B), jnp.int32)
+        cnt = jnp.zeros((C, B), jnp.int32)
+        for g, (Bk, width, deep) in enumerate(spec):
+            sub, sub_len, idx = flat[3 * g : 3 * g + 3]
+
+            def one(t, n_, s, tb, lb, sub=sub, sub_len=sub_len, deep=deep):
+                return probe_bounds_phased(
+                    t, n_, s, tb, lb, rank, present, sub, sub_len,
+                    num_limbs, deep, bits,
+                )
+
+            lo_k, cnt_k = jax.vmap(one)(text, n, sa, table, limbs)
+            lo = lo.at[:, idx].set(lo_k, mode='drop')
+            cnt = cnt.at[:, idx].set(cnt_k, mode='drop')
+        return lo, cnt
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def phased_batch_jit(deep: bool, num_limbs: int,
+                     bits: 'typing.Optional[int]' = None):
     """Jitted chunk-vmapped phased probe — one compiled program per
-    (deep?, num_limbs, table shape), independent of corpus statistics.
+    (deep?, num_limbs, bits, table shape), independent of corpus statistics.
     rank/present are shared across chunks (union alphabet)."""
 
     def f(text, n, sa, table, limbs, rank, present, patterns, lengths):
         return probe_bounds_phased(
             text, n, sa, table, limbs, rank, present, patterns, lengths,
-            num_limbs, deep,
+            num_limbs, deep, bits,
         )
 
     return jax.jit(

@@ -62,13 +62,20 @@ class ShardedReader:
         # Host-built tables: the load path stays H2D-only (see models/index.py).
         from ..models.index import DeviceIndex
 
-        self._raw = all(
-            not bool(np.any(c.data == 0)) for c in self._chunks
-        )
-        if self._raw:
-            pres = np.zeros(256, dtype=bool)
-            for c in self._chunks:
-                pres |= np.bincount(c.data, minlength=256)[:256] > 0
+        # Limb-kind selection mirrors models/index.py.
+        pres = np.zeros(256, dtype=bool)
+        for c in self._chunks:
+            pres |= np.bincount(c.data, minlength=256)[:256] > 0
+        sigma = int(pres.sum())
+        bits = search_ops.ranked_bits(sigma)
+        if bits is not None:
+            self._kind = 'ranked'
+        elif not pres[0]:
+            self._kind = 'raw'
+        else:
+            self._kind = 'digit'
+        self._bits = bits
+        if self._kind in ('ranked', 'raw'):
             rank, sigma = search_ops.alphabet_rank(pres)
             base, depth = search_ops.pick_table_params(sigma, max_n)
         else:
@@ -86,12 +93,18 @@ class ShardedReader:
         self.present = jnp.asarray(pres.astype(np.int32))
         self._base, self._depth = base, depth
         self.num_limbs = (
-            search_ops.RAW_LIMBS if self._raw else search_ops.KEY_LIMBS
+            search_ops.KEY_LIMBS if self._kind == 'digit'
+            else search_ops.RAW_LIMBS
         )
         # Plane-major limb layout — see ops/search.py:_limb_cmp3.
         limbs = np.zeros((C, n_pad * self.num_limbs), dtype=np.int32)
         for i, c in enumerate(self._chunks):
-            if self._raw:
+            if self._kind == 'ranked':
+                k = search_ops.build_ranked_limbs_host(
+                    c.data, c.suffix_array, rank, self.num_limbs, depth,
+                    self._bits,
+                )
+            elif self._kind == 'raw':
                 k = search_ops.build_raw_limbs_host(
                     c.data, c.suffix_array, self.num_limbs, depth
                 )
@@ -105,17 +118,7 @@ class ShardedReader:
         self._C = C
 
     def _probe(self, patterns: np.ndarray, lengths: np.ndarray):
-        if self._raw:
-            cover = search_ops.raw_cover_bytes(self.num_limbs, self._depth)
-            probe = search_ops.phased_batch_jit(
-                patterns.shape[1] > cover, self.num_limbs
-            )
-            lo, cnt = probe(
-                self.text, self.lengths, self.sa, self.tables, self.limbs,
-                self.rank, self.present,
-                jnp.asarray(patterns), jnp.asarray(lengths),
-            )
-        else:
+        if self._kind == 'digit':
             cover = search_ops.key_cover_bytes(self.num_limbs)
             probe = search_ops.limbs_loop_batch_jit(
                 patterns.shape[1] > cover, self.num_limbs
@@ -124,8 +127,23 @@ class ShardedReader:
                 self.text, self.lengths, self.sa, self.tables, self.limbs,
                 jnp.asarray(patterns), jnp.asarray(lengths),
             )
+            return np.asarray(lo), np.asarray(cnt)
+        if self._kind == 'ranked':
+            cover = search_ops.ranked_cover_bytes(
+                self.num_limbs, self._depth, self._bits
+            )
+        else:
+            cover = search_ops.raw_cover_bytes(self.num_limbs, self._depth)
+        probe = search_ops.phased_batch_jit(
+            patterns.shape[1] > cover, self.num_limbs, self._bits
+        )
+        lo, cnt = probe(
+            self.text, self.lengths, self.sa, self.tables, self.limbs,
+            self.rank, self.present,
+            jnp.asarray(patterns), jnp.asarray(lengths),
+        )
         lo, cnt = np.asarray(lo), np.asarray(cnt)
-        if self._raw:
+        if self._kind == 'raw':
             jpos = np.arange(patterns.shape[1])[None, :]
             has_nul = np.any(
                 (patterns == 0) & (jpos < np.asarray(lengths)[:, None]),

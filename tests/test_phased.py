@@ -215,30 +215,114 @@ def test_raw_limb_builders_agree():
             assert np.array_equal(dev[:, :n], host)
 
 
-def test_device_index_raw_and_fallback():
+def test_device_index_kind_selection_and_fallback():
+    """Limb-kind routing: small alphabets (with or without NUL bytes) take
+    rank-packed limbs, big NUL-free alphabets raw 4-byte packing, big
+    alphabets containing NUL the base-258 digit fallback — and every kind
+    must produce brute-force-exact counts, both load modes."""
     from pysubstringsearch_tpu.container import Chunk
     from pysubstringsearch_tpu.models.index import DeviceIndex
 
     rng = np.random.default_rng(3)
     clean = rng.integers(97, 123, size=4000, dtype=np.uint8)
     clean[::41] = 0x0A
-    nully = clean.copy()
-    nully[::97] = 0
-    for body, want_raw in ((clean, True), (nully, False)):
+    nully_small = clean.copy()
+    nully_small[::97] = 0
+    big = rng.integers(1, 256, size=4000, dtype=np.uint8)
+    big[::41] = 0x0A
+    nully_big = big.copy()
+    nully_big[::97] = 0
+    cases = (
+        (clean, 'ranked'),
+        (nully_small, 'ranked'),  # rank digits encode NUL exactly
+        (big, 'raw'),
+        (nully_big, 'digit'),
+    )
+    for body, want_kind in cases:
         chunk = Chunk(
             data=body, suffix_array=suffix_array_numpy(body)
         )
         for mode in ('upload', 'derive'):
             idx = DeviceIndex([chunk], mode=mode)
-            assert idx.raw == want_raw, (mode, want_raw)
+            assert idx.kind == want_kind, (mode, want_kind, idx.kind)
             pats = [
                 b'a', body[10:14].tobytes(), body[100:118].tobytes(),
-                b'\x00', b'q\x00z', b'',
+                b'\x00', b'q\x00z', b'', body[7:9].tobytes(),
+                body[20:31].tobytes(),
             ]
             packed, lengths = pack_patterns(pats)
             lo, cnt = idx.probe(packed, lengths)
             expected = brute_counts(body.tobytes(), pats)
             np.testing.assert_array_equal(cnt[0], expected)
+
+
+@pytest.mark.parametrize('sigma_hi', [110, 123])  # bits 5 and 6
+def test_ranked_limbs_match_brute_force(sigma_hi):
+    """Rank-packed limbs (5/6-bit digits, 6/5 bytes per int32): brute-force
+    parity including NUL text bytes, absent-byte patterns at collision
+    positions, and every phase-count boundary."""
+    from pysubstringsearch_tpu.ops.search import (
+        build_ranked_limbs_device,
+        build_ranked_limbs_host,
+        ranked_bits,
+        ranked_cover_bytes,
+    )
+
+    rng = np.random.default_rng(sigma_hi)
+    data = rng.integers(97, sigma_hi, size=3500, dtype=np.uint8)
+    data[::41] = 0x0A
+    data[::97] = 0x00  # NUL text bytes: ranked limbs must stay exact
+    n = data.size
+    n_pad = _pad_len(n + PAD_MARGIN)
+    text = np.zeros(n_pad, dtype=np.uint8)
+    text[:n] = data
+    sa = np.zeros(n_pad, dtype=np.int32)
+    sa[:n] = suffix_array_numpy(data)
+    pres = np.bincount(data, minlength=256)[:256] > 0
+    rank, sigma = alphabet_rank(pres)
+    bits = ranked_bits(sigma)
+    assert bits is not None
+    base, depth = pick_table_params(sigma, n)
+    table = build_seed_table_host(data, sa[:n], rank, base, depth)
+    K = 2
+    host_l = build_ranked_limbs_host(data, sa[:n], rank, K, depth, bits)
+    dev_l = np.asarray(
+        build_ranked_limbs_device(
+            jnp.asarray(text), n, jnp.asarray(sa), jnp.asarray(rank),
+            K, depth, bits,
+        )
+    ).reshape(K, n_pad)
+    assert np.array_equal(dev_l[:, :n], host_l)
+    limbs = pad_limbs_host(host_l, n_pad)
+    cover = ranked_cover_bytes(K, depth, bits)
+    pats = [b'', data[:1].tobytes(), b'\x00', data[40:42].tobytes()]
+    for l in range(1, cover + 3):
+        i = int(rng.integers(0, n - l))
+        pats.append(data[i : i + l].tobytes())
+    # Absent-byte patterns at several positions (rank-collision cases).
+    absent = next(b for b in range(97, 256) if not pres[b])
+    pref = data[100:112].tobytes()
+    pats += [
+        bytes([absent]), pref[:3] + bytes([absent]),
+        pref[:depth] + bytes([absent]), pref[:depth + 2] + bytes([absent]),
+        pref[: depth + 7] + bytes([absent]) + pref[:2],
+        pref + bytes([absent]) + pref,  # absent byte beyond cover (deep)
+    ]
+    packed, lengths = pack_patterns(pats)
+    expected = brute_counts(data.tobytes(), pats)
+    lo, cnt = probe_bounds_phased(
+        jnp.asarray(text), jnp.int32(n), jnp.asarray(sa),
+        jnp.asarray(table), jnp.asarray(limbs), jnp.asarray(rank),
+        jnp.asarray(pres.astype(np.int32)), jnp.asarray(packed),
+        jnp.asarray(lengths), K, packed.shape[1] > cover, bits,
+    )
+    np.testing.assert_array_equal(np.asarray(cnt), expected)
+    lo_p, _ = probe_bounds(
+        jnp.asarray(text), jnp.int32(n), jnp.asarray(sa),
+        jnp.asarray(packed), jnp.asarray(lengths)
+    )
+    hit = expected > 0
+    np.testing.assert_array_equal(np.asarray(lo)[hit], np.asarray(lo_p)[hit])
 
 
 def test_phased_empty_chunk():
