@@ -263,24 +263,31 @@ class DeviceIndex:
         tables = jnp.zeros((C, self._base ** self._depth + 1), jnp.int32)
         if self.kind in ('ranked', 'raw'):
             if self.kind == 'ranked':
-                limb_ranked = search_ops.derive_limb_ranked_jit(
+                # Pack each chunk's rank-digit stream once (doubling-ladder
+                # program, small transient), then each plane is one offset
+                # gather from it.
+                pack = search_ops.ranked_pack_jit(self._bits)
+                plane_into = search_ops.derive_limb_ranked_jit(
                     depth, self._bits
                 )
-                limb_into = lambda buf, i, j, t, n_, sa_: limb_ranked(
-                    buf, i, j, t, n_, sa_, self.rank
-                )
             else:
-                limb_into = search_ops.derive_limb_raw_jit(depth)
+                plane_into = search_ops.derive_limb_raw_jit(depth)
             table_into = search_ops.derive_table_raw_jit(self._base, depth)
             for i, c in enumerate(chunks):
                 n_i = jnp.int32(c.data.size)
                 t_i, sa_i = texts[i], sas[i]
+                src = (
+                    pack(t_i, n_i, self.rank)
+                    if self.kind == 'ranked' else t_i
+                )
                 for j in range(self.num_limbs):
-                    limbs = limb_into(limbs, jnp.int32(i), j, t_i, n_i, sa_i)
+                    limbs = plane_into(
+                        limbs, jnp.int32(i), j, src, n_i, sa_i
+                    )
                 tables = table_into(
                     tables, jnp.int32(i), t_i, n_i, sa_i, self.rank
                 )
-                del t_i, sa_i
+                del t_i, sa_i, src
         else:
             derive_aux = search_ops.derive_aux_jit(self.num_limbs, depth)
             for i, c in enumerate(chunks):

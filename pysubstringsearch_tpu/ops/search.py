@@ -951,43 +951,66 @@ def build_ranked_limbs_host(
 def build_ranked_limbs_device(text, n, sa, rank, num_limbs: int,
                               depth: int, bits: int):
     """Device twin of :func:`build_ranked_limbs_host` (all planes; tests and
-    small chunks — the derive path uses the per-plane
-    :func:`derive_limb_ranked_jit` to bound HBM transients)."""
-    N = text.shape[0]
+    small chunks — the derive path splits packing and per-plane gathers into
+    separate dispatches to bound HBM transients)."""
+    packed = _ranked_pack_device(text, n, rank, bits)
     cols = [
-        _ranked_limb_col_device(text, n, sa, rank, j, depth, bits)
+        _ranked_limb_col_from_pack(packed, n, sa, j, depth, bits)
         for j in range(num_limbs)
     ]
-    del N
     return jnp.concatenate(cols)
 
 
-def _ranked_limb_col_device(text, n, sa, rank, j: int, depth: int,
-                            bits: int):
+def _ranked_pack_device(text, n, rank, bits: int):
+    """[N] int32: position p's next D rank digits packed big-endian.
+
+    Doubling ladder (s2 from e, s4 from s2, s_D from s4) so at most three
+    N-arrays are live at once — a naive D-term shift sum materializes D
+    rolled copies and measured OOM at 272 Mi chunks.  Roll wrap-around only
+    corrupts the last D-1 positions, which sit in the PAD_MARGIN padding no
+    in-range gather can reach; past-end digits are exact zeros via e's mask.
+    """
     N = text.shape[0]
     D = ranked_limb_bytes(bits)
     n = jnp.asarray(n, jnp.int32)
     iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
-    d = jnp.where(iota < n, jnp.take(rank, text.astype(jnp.int32)), 0)
+    e = jnp.where(iota < n, jnp.take(rank, text.astype(jnp.int32)), 0)
+    s2 = (e << bits) + jnp.roll(e, -1)
+    s4 = (s2 << (2 * bits)) + jnp.roll(s2, -2)
+    if D == 6:
+        return (s4 << (2 * bits)) + jnp.roll(s2, -4)
+    assert D == 5
+    return (s4 << bits) + jnp.roll(e, -4)
 
-    def shifted(o):
-        return jnp.where(iota + o < n, jnp.roll(d, -o), 0)
 
+def _ranked_limb_col_from_pack(packed, n, sa, j: int, depth: int,
+                               bits: int):
+    N = packed.shape[0]
+    D = ranked_limb_bytes(bits)
+    n = jnp.asarray(n, jnp.int32)
+    iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
     o = depth + D * j
-    lj = jnp.zeros((N,), jnp.int32)
-    for i in range(D):
-        lj = (lj << bits) + shifted(o + i)
-    return jnp.where(iota < n, jnp.take(lj, jnp.clip(sa, 0, N - 1)), 0)
+    idx = jnp.clip(jnp.clip(sa, 0, N - 1) + o, 0, N - 1)
+    return jnp.where(iota < n, jnp.take(packed, idx), 0)
+
+
+@functools.lru_cache(maxsize=None)
+def ranked_pack_jit(bits: int):
+    return jax.jit(
+        lambda text, n, rank: _ranked_pack_device(text, n, rank, bits)
+    )
 
 
 @functools.lru_cache(maxsize=None)
 def derive_limb_ranked_jit(depth: int, bits: int):
     """Ranked twin of :func:`derive_limb_raw_jit`: one rank-packed limb
-    plane written straight into the DONATED stacked limb buffer."""
+    plane — a single offset gather from the chunk's packed digit stream
+    (:func:`ranked_pack_jit`) — written straight into the DONATED stacked
+    limb buffer."""
 
-    def f(buf, i, j, text, n, sa, rank):
-        N = text.shape[0]
-        col = _ranked_limb_col_device(text, n, sa, rank, j, depth, bits)
+    def f(buf, i, j, packed, n, sa):
+        N = packed.shape[0]
+        col = _ranked_limb_col_from_pack(packed, n, sa, j, depth, bits)
         return lax.dynamic_update_slice(buf, col[None], (i, j * N))
 
     return jax.jit(f, static_argnums=(2,), donate_argnums=(0,))
