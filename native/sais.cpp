@@ -6,38 +6,114 @@
 // & Chan 2009): type classification, LMS bucketing, two induced sorting
 // sweeps, substring naming, and recursion on the reduced string.
 //
-// Performance notes (all measured on this repo's bench corpus, 64 MB):
-// - The suffix type bit lives in bit 30 of the symbol array itself
-//   (st[i] = s[i] | TBIT for S-type), so the induced-sort inner loops touch
-//   ONE random cache line per element instead of two (symbol + type array).
-// - The induced-sort, compaction, and naming loops software-prefetch the
-//   data-dependent reads ~32 iterations ahead; these loops are memory-
-//   latency-bound and prefetching nearly doubles their throughput here.
-// - The reduced problem is solved in place: LMS names are compacted into the
-//   tail of the SA buffer (s1 = sa[n-m..n)) and the recursive SA into its
-//   head, so recursion allocates nothing but its bucket counters.
-// Together: 4.2 -> ~8 MB/s single-core on this host (single-core libsais
-// measures 11.6 MB/s on the same corpus/host).
+// Performance architecture (decisions measured on this repo's bench corpus;
+// numbers in ARCHITECTURE.md):
 //
-// Comparison convention: the caller maps byte b -> b + 1 and appends a unique
-// 0 sentinel, so a proper prefix sorts before any extension — matching the
-// reference reader's raw byte compare (src/lib.rs:224-228).
+// - Level 0 (byte strings) runs DIRECTLY on the caller's uint8 text with a
+//   virtual sentinel and sign-marked suffix types (entry v>0 = L-type
+//   position v-1, v<0 = S-type position -v-1, 0 = empty), inducing straight
+//   into the caller's sa_out.  No 4n int32 symbol copy exists at this level,
+//   so the induced-sort inner loops' random reads touch the n-byte text
+//   instead of a 4n array — at reference chunk sizes (256-512 MiB) that
+//   footprint difference decides cache/TLB behavior.
+// - Recursion levels use the symbol-typed path with the suffix type folded
+//   into the top bit of the symbol array, instantiated for BOTH uint16 and
+//   int32 symbols: reduced strings whose alphabet fits 15 bits (common —
+//   natural-language LMS vocabularies are small) run on half the bytes.
+// - Every big working array is allocated untouched and madvise'd
+//   MADV_HUGEPAGE before first touch: the hot loops are random accesses
+//   over multi-hundred-MB arrays, where 4 KiB pages make every access a
+//   TLB miss as well as a cache miss.
+// - The induced-sort loops software-prefetch the data-dependent symbol
+//   reads PFD iterations ahead.  (A second-stage prefetch of the scatter
+//   TARGET was tried and measured ~10% SLOWER: the speculative bucket
+//   recompute costs more than the write-miss it hides.)
+// - LMS-substring naming compares lengths first, then memcmp (vectorized),
+//   instead of a per-byte scalar walk.
+//
+// Comparison convention: a virtual sentinel smaller than any byte (the int
+// path realizes it as rank 0 after a +1 shift), so a proper prefix sorts
+// before any extension — matching the reference reader's raw byte compare
+// (src/lib.rs:224-228).
 
 #include <algorithm>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
+
+#if defined(__linux__)
+#include <sys/mman.h>
+#endif
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
 using i32 = int32_t;
+using u16 = uint16_t;
 
-// Suffix-type bit folded into the symbol array: set = S-type.  Symbols must
-// stay below TBIT; the byte path uses K = 258 and recursion names are
-// bounded by n/2 <= 2^30, so this always holds for n <= 2^31 - 1.
-constexpr i32 TBIT = 1 << 30;
-constexpr i32 SMASK = TBIT - 1;
-constexpr i32 PFD = 32;  // prefetch distance for data-dependent reads
+constexpr i32 PFD = 32;  // prefetch lead for data-dependent reads
+
+// Phase timing to stderr when TPUSS_SA_PROFILE is set (diagnostic only).
+bool sa_profile() {
+  static const bool on = std::getenv("TPUSS_SA_PROFILE") != nullptr;
+  return on;
+}
+
+double sa_now() {
+  return std::chrono::duration<double>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+
+struct SaPhase {
+  const char* name;
+  int level;
+  double t0;
+  SaPhase(const char* name, int level)
+      : name(name), level(level), t0(sa_profile() ? sa_now() : 0.0) {}
+  ~SaPhase() {
+    if (sa_profile())
+      fprintf(stderr, "[sa l%d] %-12s %7.2fs\n", level, name, sa_now() - t0);
+  }
+};
+
+// Ask the kernel for 2 MiB pages over [p, p+bytes) (no-op off Linux or when
+// THP is disabled).  Must run BEFORE first touch to take effect at fault.
+void advise_huge(void* p, size_t bytes) {
+#if defined(__linux__) && defined(MADV_HUGEPAGE)
+  constexpr uintptr_t HP = 2u << 20;
+  uintptr_t a = reinterpret_cast<uintptr_t>(p);
+  uintptr_t lo = (a + HP - 1) & ~(HP - 1);
+  uintptr_t hi = (a + bytes) & ~(HP - 1);
+  if (hi > lo) madvise(reinterpret_cast<void*>(lo), hi - lo, MADV_HUGEPAGE);
+#else
+  (void)p;
+  (void)bytes;
+#endif
+}
+
+// Untouched-until-used allocation so advise_huge lands before first fault
+// (std::vector value-initializes, faulting every page as 4 KiB first).
+struct Buf {
+  void* p = nullptr;
+  explicit Buf(size_t bytes) {
+    p = std::malloc(bytes);
+    if (p != nullptr) advise_huge(p, bytes);
+  }
+  ~Buf() { std::free(p); }
+  Buf(const Buf&) = delete;
+  Buf& operator=(const Buf&) = delete;
+  template <typename T>
+  T* as() const {
+    return static_cast<T*>(p);
+  }
+};
 
 // bkt[c] = start (end=false) or one-past-end (end=true) of symbol c's bucket.
 void bucket_bounds(const i32* cnt, i32* bkt, i32 K, bool end) {
@@ -48,12 +124,37 @@ void bucket_bounds(const i32* cnt, i32* bkt, i32 K, bool end) {
   }
 }
 
+// ---------------------------------------------------------------------------
+// Symbol-typed recursion path (SymT = uint16 or int32).
+//
+// The suffix type bit is folded into the symbol array itself (st[i] = sym |
+// TBIT for S-type), so the induction inner loops touch ONE random location
+// per element.  sa[] entries: position values >= 0, -1 = empty.
+// ---------------------------------------------------------------------------
+
+template <typename SymT>
+struct SymTraits;
+
+template <>
+struct SymTraits<i32> {
+  static constexpr i32 TBIT = 1 << 30;
+  static constexpr i32 SMASK = TBIT - 1;
+};
+
+template <>
+struct SymTraits<u16> {
+  static constexpr u16 TBIT = 1u << 15;
+  static constexpr u16 SMASK = TBIT - 1;
+};
+
 // The two canonical induction sweeps: L-types left-to-right from bucket
 // heads, then S-types right-to-left from bucket tails.  These are the two
-// hottest loops of the whole build; each iteration's only random access is
-// st[j-1] (symbol and type in one load), prefetched PFD elements ahead.
-void induce(const i32* st, i32* sa, const std::vector<i32>& cnt,
-            std::vector<i32>& bkt, i32 n, i32 K) {
+// hottest loops of the whole build.
+template <typename SymT>
+void induce_t(const SymT* st, i32* sa, const std::vector<i32>& cnt,
+              std::vector<i32>& bkt, i32 n, i32 K) {
+  constexpr auto TBIT = SymTraits<SymT>::TBIT;
+  constexpr auto SMASK = SymTraits<SymT>::SMASK;
   bucket_bounds(cnt.data(), bkt.data(), K, false);
   for (i32 i = 0; i < n; ++i) {
     if (i + PFD < n) {
@@ -62,7 +163,7 @@ void induce(const i32* st, i32* sa, const std::vector<i32>& cnt,
     }
     i32 j = sa[i];
     if (j > 0) {
-      i32 v = st[j - 1];
+      SymT v = st[j - 1];
       if (!(v & TBIT)) sa[bkt[v]++] = j - 1;
     }
   }
@@ -74,31 +175,65 @@ void induce(const i32* st, i32* sa, const std::vector<i32>& cnt,
     }
     i32 j = sa[i];
     if (j > 0) {
-      i32 v = st[j - 1];
+      SymT v = st[j - 1];
       if (v & TBIT) sa[--bkt[v & SMASK]] = j - 1;
     }
   }
 }
 
+template <typename SymT>
+void sais_rec(SymT* st, i32* sa, i32 n, i32 K, i32* lms_buf, int level = 1);
+
+// Recurse on the reduced string of m LMS names parked ascending in the
+// non-negative slots of park[0..park_n): pick the narrowest symbol width
+// the alphabet fits, +1-shift with an appended 0 sentinel (uniform — an
+// extra sentinel after an already-sentineled string changes nothing, and
+// the byte level's virtual-sentinel reduction REQUIRES one), and leave the
+// reduced SA in sa1[0..m+1) (slot 0 = the appended sentinel's position).
+void solve_reduced(const i32* park, i32 park_n, i32* sa1, i32 m, i32 name,
+                   int level) {
+  Buf lms_rec(sizeof(i32) * (static_cast<size_t>(m) + 3));
+  if (name + 2 <= static_cast<i32>(SymTraits<u16>::TBIT)) {
+    Buf s1(sizeof(u16) * (static_cast<size_t>(m) + 1));
+    u16* s = s1.as<u16>();
+    i32 k = 0;
+    for (i32 i = 0; i < park_n; ++i)
+      if (park[i] >= 0) s[k++] = static_cast<u16>(park[i] + 1);
+    s[m] = 0;
+    sais_rec<u16>(s, sa1, m + 1, name + 1, lms_rec.as<i32>(), level);
+  } else {
+    Buf s1(sizeof(i32) * (static_cast<size_t>(m) + 1));
+    i32* s = s1.as<i32>();
+    i32 k = 0;
+    for (i32 i = 0; i < park_n; ++i)
+      if (park[i] >= 0) s[k++] = park[i] + 1;
+    s[m] = 0;
+    sais_rec<i32>(s, sa1, m + 1, name + 1, lms_rec.as<i32>(), level);
+  }
+}
+
 // SA-IS over an integer string st[0..n) with values in [0, K) whose last
-// symbol is a unique smallest sentinel.  st is MUTATED (type bits folded in).
-// lms_buf must hold at least n - (position of first LMS use)… callers pass a
-// buffer of n+2 i32 shared across the recursion (level offsets sum < n).
-void sais_rec(i32* st, i32* sa, i32 n, i32 K, i32* lms_buf) {
+// symbol is a unique smallest sentinel.  st is MUTATED (type bits folded
+// in).  lms_buf must hold at least n/2 + 2 i32.
+template <typename SymT>
+void sais_rec(SymT* st, i32* sa, i32 n, i32 K, i32* lms_buf, int level) {
+  constexpr auto TBIT = SymTraits<SymT>::TBIT;
+  constexpr auto SMASK = SymTraits<SymT>::SMASK;
   if (n == 1) {
     sa[0] = 0;
     return;
   }
+  SaPhase ph_all("rec-total", level);
 
   // Type pass (right-to-left), folding the S bit into st in place.
-  st[n - 1] |= TBIT;
+  st[n - 1] = static_cast<SymT>(st[n - 1] | TBIT);
   for (i32 i = n - 2; i >= 0; --i) {
-    i32 a = st[i], b = st[i + 1];
-    if (a < (b & SMASK) || (a == (b & SMASK) && (b & TBIT))) st[i] = a | TBIT;
+    SymT a = st[i], b = st[i + 1];
+    if (a < (b & SMASK) || (a == (b & SMASK) && (b & TBIT)))
+      st[i] = static_cast<SymT>(a | TBIT);
   }
 
-  std::vector<i32> cnt(K), bkt(K);
-  std::fill(cnt.begin(), cnt.end(), 0);
+  std::vector<i32> cnt(K, 0), bkt(K);
   for (i32 i = 0; i < n; ++i) cnt[st[i] & SMASK]++;
 
   // Stage 1: seed with LMS positions in text order, induce once to obtain
@@ -109,8 +244,10 @@ void sais_rec(i32* st, i32* sa, i32 n, i32 K, i32* lms_buf) {
     if ((st[i] & TBIT) && !(st[i - 1] & TBIT)) lms[m++] = i;
   std::fill(sa, sa + n, -1);
   bucket_bounds(cnt.data(), bkt.data(), K, true);
-  for (i32 i = m - 1; i >= 0; --i) sa[--bkt[st[lms[i]] & SMASK]] = lms[i];
-  induce(st, sa, cnt, bkt, n, K);
+  for (i32 i = m - 1; i >= 0; --i) {
+    sa[--bkt[st[lms[i]] & SMASK]] = lms[i];
+  }
+  induce_t<SymT>(st, sa, cnt, bkt, n, K);
 
   // Compact the sorted LMS positions to the front.
   i32 q = 0;
@@ -153,32 +290,302 @@ void sais_rec(i32* st, i32* sa, i32 n, i32 K, i32* lms_buf) {
     }
     sa[m + pos / 2] = name - 1;
   }
+  if (sa_profile())
+    fprintf(stderr, "[sa l%d] n=%d m=%d name=%d K=%d sym=%zub\n", level, n, m,
+            name, K, sizeof(SymT));
 
   if (name < m) {
-    // Ties remain: recurse on the reduced string of LMS names, in place.
-    // Compact the parked names to the tail of sa with a descending scan and
-    // descending writes (the write cursor stays >= the scan cursor, so no
-    // unscanned entry is clobbered); s1 = sa[n-m..n), sa1 = sa[0..m).
-    i32 w = n;
-    for (i32 i = n - 1; i >= m; --i)
-      if (sa[i] >= 0) sa[--w] = sa[i];
-    sais_rec(sa + n - m, sa, m, name, lms_buf + m);
-    for (i32 i = 0; i < m; ++i) sa[i] = lms[sa[i]];
+    // Ties remain: recurse on the reduced string of LMS names at the
+    // narrowest symbol width that fits; reduced SA comes back in
+    // sa[0..m+1), ranks at slots 1..m (slot 0 = appended sentinel).
+    solve_reduced(sa + m, n - m, sa, m, name, level + 1);
+    Buf sorted_b(sizeof(i32) * static_cast<size_t>(m));
+    i32* sorted = sorted_b.as<i32>();
+    for (i32 i = 0; i < m; ++i) sorted[i] = lms[sa[i + 1]];
+    std::copy(sorted, sorted + m, lms);
   }
   // (name == m: sa[0..m) is already the sorted LMS suffix order.)
+  else {
+    std::copy(sa, sa + m, lms);
+  }
 
   // Stage 3: scatter sorted LMS suffixes to bucket tails, final induction.
-  // lms_buf doubles as the sorted-LMS staging area (text-order LMS positions
-  // are no longer needed).
-  i32* sorted_lms = lms_buf;
-  for (i32 i = 0; i < m; ++i) sorted_lms[i] = sa[i];
   std::fill(sa, sa + n, -1);
   bucket_bounds(cnt.data(), bkt.data(), K, true);
   for (i32 i = m - 1; i >= 0; --i) {
-    i32 p = sorted_lms[i];
+    i32 p = lms[i];
     sa[--bkt[st[p] & SMASK]] = p;
   }
-  induce(st, sa, cnt, bkt, n, K);
+  induce_t<SymT>(st, sa, cnt, bkt, n, K);
+}
+
+// ---------------------------------------------------------------------------
+// Level 0: byte strings, no symbol copy, sign-marked types.
+//
+// sa[] entry encoding: 0 = empty; v > 0 = position v-1 known L-type;
+// v < 0 = position -v-1 known S-type.  Types are derived on the fly from
+// adjacent text bytes plus the popped entry's own sign:
+//   L(p-1)  <=>  data[p-1] > data[p]  ||  (data[p-1] == data[p] && L(p))
+// so each pop costs ONE random text access (two adjacent bytes).  LMS seeds
+// left stale in the S region are provably overwritten before the right-to-
+// left sweep reads their slot (each S slot's writer pops at an index above
+// the slot), so no clearing pass is needed between the sweeps.
+// ---------------------------------------------------------------------------
+
+// The two induction sweeps over u8 text.  sa holds seeds (negative, S-type);
+// on return every suffix is placed, sign-marked.
+void induce_u8(const uint8_t* data, i32* sa, i32 n, i32* bkt,
+               const i32* cnt) {
+  // L-sweep, left to right from bucket heads.  The virtual sentinel's
+  // predecessor n-1 is always L (it precedes the smallest suffix).
+  bucket_bounds(cnt, bkt, 256, false);
+  sa[bkt[data[n - 1]]++] = n;  // +(n-1+1)
+  for (i32 i = 0; i < n; ++i) {
+    if (i + PFD < n) {
+      i32 w = sa[i + PFD];
+      if (w != 0) {
+        i32 q = (w < 0 ? -w : w) - 1;
+        if (q > 0) __builtin_prefetch(&data[q - 1]);
+      }
+    }
+    i32 v = sa[i];
+    if (v == 0) continue;
+    i32 p = (v < 0 ? -v : v) - 1;
+    if (p == 0) continue;
+    uint8_t c = data[p], b = data[p - 1];
+    if (b > c || (b == c && v > 0)) sa[bkt[b]++] = p;  // push p-1 as L
+  }
+  // S-sweep, right to left from bucket tails.
+  bucket_bounds(cnt, bkt, 256, true);
+  for (i32 i = n - 1; i >= 0; --i) {
+    if (i - PFD >= 0) {
+      i32 w = sa[i - PFD];
+      if (w != 0) {
+        i32 q = (w < 0 ? -w : w) - 1;
+        if (q > 0) __builtin_prefetch(&data[q - 1]);
+      }
+    }
+    i32 v = sa[i];
+    if (v == 0) continue;
+    i32 p = (v < 0 ? -v : v) - 1;
+    if (p == 0) continue;
+    uint8_t c = data[p], b = data[p - 1];
+    if (b < c || (b == c && v < 0)) sa[--bkt[b]] = -p;  // push p-1 as S
+  }
+}
+
+// SA-IS over bytes; writes the final SA (positions, sign-stripped) into sa.
+void sais_u8(const uint8_t* data, i32* sa, i32 n) {
+  if (n == 1) {
+    sa[0] = 0;
+    return;
+  }
+  std::vector<i32> cnt(256, 0), bkt(256);
+  {
+    SaPhase ph("count", 0);
+    for (i32 i = 0; i < n; ++i) cnt[data[i]]++;
+  }
+
+  // Type scan (right to left), collecting LMS positions in text order.
+  // m <= n/2 (consecutive LMS are >= 2 apart).
+  Buf lms_b(sizeof(i32) * (static_cast<size_t>(n) / 2 + 1));
+  i32* lms = lms_b.as<i32>();
+  i32 m = 0;
+#if defined(__AVX2__)
+  if (n >= 256) {
+    // Vectorized two-pass variant.  Pass 1 (right to left) computes the
+    // S-type bitmask 64 positions at a time: with lt/eq compare masks of
+    // adjacent bytes, S satisfies s_i = lt_i | (eq_i & s_{i+1}); bit 63 is
+    // seeded from the inter-block carry and the rest closes in log2(64)
+    // shift-and-mask steps (eq runs propagate the first non-equal verdict).
+    // Pass 2 (left to right) extracts LMS positions from s & ~(s << 1).
+    SaPhase ph("typescan", 0);
+    const i32 words = (n + 63) / 64;
+    Buf types_b(sizeof(uint64_t) * (static_cast<size_t>(words) + 1));
+    uint64_t* types = types_b.as<uint64_t>();
+    // Scalar head: the last (partial) word, positions [64*(words-1), n).
+    bool carry;  // after each word: S-type of that word's position 0
+    {
+      const i32 base = 64 * (words - 1);
+      uint64_t w = 0;  // type(n-1) = L vs the sentinel: bit stays 0
+      bool s_next = false;
+      for (i32 i = n - 2; i >= base; --i) {
+        bool s_cur =
+            data[i] < data[i + 1] || (data[i] == data[i + 1] && s_next);
+        if (s_cur) w |= 1ull << (i & 63);
+        s_next = s_cur;
+      }
+      types[words - 1] = w;
+      carry = s_next;  // == S(base); n >= 256 guarantees base > 0
+    }
+    for (i32 b = (words - 1) - 1; b >= 0; --b) {
+      const uint8_t* p = data + 64 * static_cast<size_t>(b);
+      uint64_t lt, eq;
+      {
+        __m256i a0 = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(p));
+        __m256i b0 =
+            _mm256_loadu_si256(reinterpret_cast<const __m256i*>(p + 1));
+        __m256i a1 =
+            _mm256_loadu_si256(reinterpret_cast<const __m256i*>(p + 32));
+        __m256i b1 =
+            _mm256_loadu_si256(reinterpret_cast<const __m256i*>(p + 33));
+        uint32_t eq0 = _mm256_movemask_epi8(_mm256_cmpeq_epi8(a0, b0));
+        uint32_t eq1 = _mm256_movemask_epi8(_mm256_cmpeq_epi8(a1, b1));
+        uint32_t le0 = _mm256_movemask_epi8(
+            _mm256_cmpeq_epi8(_mm256_max_epu8(a0, b0), b0));
+        uint32_t le1 = _mm256_movemask_epi8(
+            _mm256_cmpeq_epi8(_mm256_max_epu8(a1, b1), b1));
+        eq = (static_cast<uint64_t>(eq1) << 32) | eq0;
+        uint64_t le = (static_cast<uint64_t>(le1) << 32) | le0;
+        lt = le & ~eq;
+      }
+      // Seed bit 63 exactly: s63 = lt63 | (eq63 & carry).
+      uint64_t s = lt;
+      if (carry) s |= eq & 0x8000000000000000ull;
+      uint64_t e = eq & ~0x8000000000000000ull;  // bit 63 resolved above
+      for (int k = 1; k < 64; k <<= 1) {
+        s |= e & (s >> k);
+        e &= e >> k;
+      }
+      types[b] = s;
+      carry = (s & 1) != 0;
+    }
+    // Pass 2: LMS = S with an L predecessor; position 0 is never LMS.
+    for (i32 b = 0; b < words; ++b) {
+      uint64_t s = types[b];
+      uint64_t prev =
+          (s << 1) | (b > 0 ? (types[b - 1] >> 63) : 1);  // bit i = s_{i-1}
+      uint64_t lm = s & ~prev;
+      while (lm) {
+        i32 bit = __builtin_ctzll(lm);
+        lm &= lm - 1;
+        lms[m++] = 64 * b + bit;
+      }
+    }
+  } else
+#endif
+  {
+    SaPhase ph("typescan", 0);
+    bool s_next = false;  // type of i+1; type(n-1) = L vs the sentinel
+    for (i32 i = n - 2; i >= 0; --i) {
+      bool s_cur =
+          data[i] < data[i + 1] || (data[i] == data[i + 1] && s_next);
+      if (s_next && !s_cur) lms[m++] = i + 1;
+      s_next = s_cur;
+    }
+    std::reverse(lms, lms + m);
+  }
+
+  // Stage 1: seed LMS at bucket tails, induce once: LMS substrings sorted.
+  {
+    SaPhase ph("seed1", 0);
+    std::fill(sa, sa + n, 0);
+    bucket_bounds(cnt.data(), bkt.data(), 256, true);
+    for (i32 i = m - 1; i >= 0; --i) {
+      i32 p = lms[i];
+      sa[--bkt[data[p]]] = -(p + 1);
+    }
+  }
+  {
+    SaPhase ph("induce1", 0);
+    induce_u8(data, sa, n, bkt.data(), cnt.data());
+  }
+
+  // Compact sorted LMS positions to the front.  LMS(p) <=> entry is S-typed
+  // and data[p-1] > data[p] (equal bytes would make p-1 S too).
+  i32 q = 0;
+  {
+    SaPhase ph("compact", 0);
+    for (i32 i = 0; i < n; ++i) {
+      if (i + PFD < n) {
+        i32 w = sa[i + PFD];
+        if (w < 0) __builtin_prefetch(&data[-w - 2]);
+      }
+      i32 v = sa[i];
+      if (v < 0) {
+        i32 p = -v - 1;
+        if (p > 0 && data[p - 1] > data[p]) sa[q++] = p;
+      }
+    }
+  }
+  // q == m by construction.
+
+  // Stage 2: name LMS substrings.  Substring of p spans to the NEXT LMS
+  // inclusive; the text-final LMS extends past n-1 by the virtual sentinel
+  // (length n-p+1, compared unequal to any in-text substring by the bounds
+  // guard).  Lengths are parked at sa[m + p/2] (LMS positions are >= 2
+  // apart), then overwritten by names.
+  {
+    SaPhase ph("parklen", 0);
+    std::fill(sa + m, sa + n, -1);
+    for (i32 i = 0; i < m; ++i) {
+      i32 p = lms[i];
+      i32 len = (i + 1 < m ? lms[i + 1] - p : n - p) + 1;
+      sa[m + p / 2] = len;
+    }
+  }
+  i32 name = 0;
+  {
+    SaPhase ph("naming", 0);
+    i32 prev = -1, prev_len = 0;
+    for (i32 i = 0; i < m; ++i) {
+      if (i + 8 < m) {
+        i32 pp = sa[i + 8];
+        __builtin_prefetch(&sa[m + pp / 2], 1);
+        __builtin_prefetch(&data[pp]);
+      }
+      i32 pos = sa[i];
+      i32 len = sa[m + pos / 2];
+      bool differs =
+          prev < 0 || len != prev_len || pos + len > n || prev + len > n ||
+          std::memcmp(data + pos, data + prev, static_cast<size_t>(len)) != 0;
+      if (differs) {
+        ++name;
+        prev = pos;
+        prev_len = len;
+      }
+      sa[m + pos / 2] = name - 1;
+    }
+  }
+  if (sa_profile())
+    fprintf(stderr, "[sa l0] n=%d m=%d name=%d\n", n, m, name);
+
+  if (name < m) {
+    // Recurse on the reduced string of LMS names; the reduced SA comes
+    // back in sa[0..m+1), ranks at slots 1..m.  Map back via lms[].
+    {
+      SaPhase ph("recurse", 0);
+      solve_reduced(sa + m, n - m, sa, m, name, 1);
+    }
+    Buf sorted_b(sizeof(i32) * static_cast<size_t>(m));
+    i32* sorted = sorted_b.as<i32>();
+    for (i32 i = 0; i < m; ++i) sorted[i] = lms[sa[i + 1]];
+    std::copy(sorted, sorted + m, lms);
+  }
+  // (name == m: sa[0..m) is already the sorted LMS order.)
+  else {
+    std::copy(sa, sa + m, lms);
+  }
+
+  // Stage 3: scatter sorted LMS to bucket tails, final induction.
+  {
+    SaPhase ph("seed3", 0);
+    std::fill(sa, sa + n, 0);
+    bucket_bounds(cnt.data(), bkt.data(), 256, true);
+    for (i32 i = m - 1; i >= 0; --i) {
+      i32 p = lms[i];
+      sa[--bkt[data[p]]] = -(p + 1);
+    }
+  }
+  {
+    SaPhase ph("induce3", 0);
+    induce_u8(data, sa, n, bkt.data(), cnt.data());
+  }
+  // Strip the sign/offset encoding: |v| - 1.
+  for (i32 i = 0; i < n; ++i) {
+    i32 v = sa[i];
+    sa[i] = (v < 0 ? -v : v) - 1;
+  }
 }
 
 }  // namespace
@@ -190,14 +597,8 @@ extern "C" {
 i32 tpuss_build_sa_u8(const uint8_t* data, i32 n, i32* sa_out) {
   if (n < 0) return -1;
   if (n == 0) return 0;
-  std::vector<i32> st(static_cast<size_t>(n) + 1);
-  for (i32 i = 0; i < n; ++i) st[i] = static_cast<i32>(data[i]) + 1;
-  st[n] = 0;
-  std::vector<i32> sa(static_cast<size_t>(n) + 1);
-  std::vector<i32> lms(static_cast<size_t>(n) + 2);
-  sais_rec(st.data(), sa.data(), n + 1, 258, lms.data());
-  // sa[0] is the sentinel position n; the rest is the text's SA.
-  std::memcpy(sa_out, sa.data() + 1, static_cast<size_t>(n) * sizeof(i32));
+  advise_huge(sa_out, static_cast<size_t>(n) * sizeof(i32));
+  sais_u8(data, sa_out, n);
   return 0;
 }
 
@@ -207,16 +608,19 @@ i32 tpuss_build_sa_u8(const uint8_t* data, i32 n, i32* sa_out) {
 i32 tpuss_build_sa_i32(const i32* data, i32 n, i32 k, i32* sa_out) {
   if (n < 0 || k <= 0 || k > 0x3FFFFFFE) return -1;
   if (n == 0) return 0;
-  std::vector<i32> st(static_cast<size_t>(n) + 1);
+  Buf st_b(sizeof(i32) * (static_cast<size_t>(n) + 1));
+  i32* st = st_b.as<i32>();
   for (i32 i = 0; i < n; ++i) {
     if (data[i] < 0 || data[i] >= k) return -2;
     st[i] = data[i] + 1;
   }
   st[n] = 0;
-  std::vector<i32> sa(static_cast<size_t>(n) + 1);
-  std::vector<i32> lms(static_cast<size_t>(n) + 2);
-  sais_rec(st.data(), sa.data(), n + 1, k + 1, lms.data());
-  std::memcpy(sa_out, sa.data() + 1, static_cast<size_t>(n) * sizeof(i32));
+  Buf sa_b(sizeof(i32) * (static_cast<size_t>(n) + 1));
+  Buf lms_b(sizeof(i32) * (static_cast<size_t>(n) + 2));
+  i32* sa = sa_b.as<i32>();
+  sais_rec<i32>(st, sa, n + 1, k + 1, lms_b.as<i32>(), 1);
+  // sa[0] is the sentinel position n; the rest is the text's SA.
+  std::memcpy(sa_out, sa + 1, static_cast<size_t>(n) * sizeof(i32));
   return 0;
 }
 
