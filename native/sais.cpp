@@ -651,6 +651,56 @@ i32 tpuss_unbwt(const uint8_t* u, i32 n, i32 primary_index, uint8_t* out) {
   return p == primary_index ? 0 : -2;
 }
 
+// Batched lower/upper-bound probe over a host-resident (text, SA) chunk —
+// the host twin of the device probe (ops/search.py), used by the Reader's
+// big-batch extraction route where reading hit positions back over a slow
+// host<->device link would cost more than recomputing bounds host-side.
+// Mirrors the reference Reader's per-chunk binary searches
+// (src/lib.rs:212-252) but over in-RAM arrays and a whole pattern batch.
+// pats is [B, stride] zero-padded row-major; writes lo_out/cnt_out [B].
+i32 tpuss_probe_batch(const uint8_t* data, i32 n, const i32* sa,
+                      const uint8_t* pats, const i32* lens, i32 stride,
+                      i32 B, i32* lo_out, i32* cnt_out) {
+  if (n < 0 || B < 0 || stride < 0) return -1;
+  for (i32 b = 0; b < B; ++b) {
+    const uint8_t* P = pats + static_cast<size_t>(b) * stride;
+    i32 L = lens[b];
+    if (L > stride) return -2;
+    // Lower bound: first slot whose suffix is >= P, where a suffix that
+    // starts with P compares equal (reference src/lib.rs:219-228).
+    i32 lo = 0, hi = n;
+    while (lo < hi) {
+      i32 mid = lo + (hi - lo) / 2;
+      i32 pos = sa[mid];
+      i32 avail = n - pos;
+      i32 k = avail < L ? avail : L;
+      int c = std::memcmp(data + pos, P, static_cast<size_t>(k));
+      bool less = c < 0 || (c == 0 && avail < L);
+      if (less)
+        lo = mid + 1;
+      else
+        hi = mid;
+    }
+    i32 lower = lo;
+    // Upper bound: first slot whose suffix is > P and not prefixed by it.
+    hi = n;
+    while (lo < hi) {
+      i32 mid = lo + (hi - lo) / 2;
+      i32 pos = sa[mid];
+      i32 avail = n - pos;
+      i32 k = avail < L ? avail : L;
+      int c = std::memcmp(data + pos, P, static_cast<size_t>(k));
+      if (c > 0)
+        hi = mid;
+      else
+        lo = mid + 1;
+    }
+    lo_out[b] = lower;
+    cnt_out[b] = lo - lower;
+  }
+  return 0;
+}
+
 // Newline-position scan used by index load (vectorizable memchr analogue).
 // Writes at most cap positions; returns the total newline count.
 i32 tpuss_find_newlines(const uint8_t* data, i32 n, i32* out, i32 cap) {

@@ -237,23 +237,38 @@ class Writer:
             pass
 
 
+def native_available_for_probe() -> bool:
+    from .ops import native as native_ops
+
+    return native_ops.probe_batch_available()
+
+
 class Reader:
-    def __init__(self, index_file_path: str) -> None:
+    """Device-resident index reader.
+
+    Signature parity with the reference (``Reader(index_file_path)``,
+    src/lib.rs:161-199); keyword-only extras configure the device placement:
+    ``index_mode`` forwards to :class:`DeviceIndex` (``'auto'`` = derive on
+    accelerators / upload on CPU; env override ``TPUSS_INDEX_MODE``).
+    """
+
+    def __init__(self, index_file_path: str, *, index_mode: str = 'auto') -> None:
         prof = PhaseProfiler()
         with prof.phase('load-container'):
             chunks = container.read_chunks(index_file_path)
-        self._init_from_chunks(chunks, prof)
+        self._init_from_chunks(chunks, prof, index_mode)
 
     def _init_from_chunks(
         self,
         chunks: typing.List[container.Chunk],
         prof: typing.Optional[PhaseProfiler] = None,
+        index_mode: str = 'auto',
     ) -> None:
         self._chunks = chunks
         self._prof = prof if prof is not None else PhaseProfiler()
-        with self._prof.phase('line-tables'):
-            self._tables = [LineTable(c.data) for c in self._chunks]
+        self._index_mode = os.environ.get('TPUSS_INDEX_MODE', index_mode)
         self._device_index: typing.Optional[DeviceIndex] = None
+        self._row_tables: typing.Optional[typing.List[LineTable]] = None
 
     @property
     def profiler(self) -> PhaseProfiler:
@@ -273,11 +288,32 @@ class Reader:
     def _index(self) -> DeviceIndex:
         if self._device_index is None:
             with self._prof.phase('device-load'):
-                self._device_index = DeviceIndex(self._chunks)
+                self._device_index = DeviceIndex(
+                    self._chunks, mode=self._index_mode
+                )
         return self._device_index
 
+    @property
+    def row_tables(self) -> typing.List[LineTable]:
+        """One LineTable per probe ROW (merged rows: over the concatenated
+        text — line spans never cross source-chunk boundaries because every
+        chunk ends with ``\\n``, and offset-keyed dedup is then identical to
+        the reference's per-chunk dedup, src/lib.rs:274)."""
+        if self._row_tables is None:
+            with self._prof.phase('line-tables'):
+                self._row_tables = [
+                    LineTable(d) for d in self._index.row_data
+                ]
+        return self._row_tables
+
+    #: Flat-gather readback budget (bytes) before extraction switches to the
+    #: native host bisection route.  4 MB ~= 2 s on this environment's
+    #: measured D2H tunnel; co-located deployments can raise it by orders of
+    #: magnitude (env TPUSS_READBACK_CAP).
+    _READBACK_CAP = int(os.environ.get('TPUSS_READBACK_CAP', str(4 << 20)))
+
     def _search_batch(self, patterns: typing.List[bytes]) -> typing.List[typing.List[str]]:
-        """Per-pattern result lists, each in chunk-major order.
+        """Per-pattern result lists, each in row-major order.
 
         Duplicate patterns are probed once and their results fanned back out
         (the reference's ``search_multiple`` re-runs the full search per
@@ -293,32 +329,199 @@ class Reader:
             uniq_list = list(uniq)
             uniq_results = self._search_batch(uniq_list)
             return [uniq_results[uniq[p]] for p in patterns]
-        if max(len(p) for p in patterns) > search_ops.PAD_MARGIN:
-            # Patterns beyond the device window margin: exact host bisection
-            # (rare; the device path contract is L <= PAD_MARGIN).
-            C, B = len(self._chunks), len(patterns)
-            lo = np.zeros((C, B), dtype=np.int64)
-            cnt = np.zeros((C, B), dtype=np.int64)
-            for c, chunk in enumerate(self._chunks):
-                data = chunk.data.tobytes()
-                for b, pat in enumerate(patterns):
-                    lo[c, b], cnt[c, b] = search_ops.host_probe_bounds(
-                        data, chunk.suffix_array, pat
-                    )
-        else:
-            packed, lengths = search_ops.pack_patterns(patterns)
-            with self._prof.phase('probe'):
-                lo, cnt = self._index.probe(packed, lengths)
         out: typing.List[typing.List[str]] = [[] for _ in patterns]
+        long_idx = [
+            i for i, p in enumerate(patterns)
+            if len(p) > search_ops.PAD_MARGIN
+        ]
+        if long_idx:
+            # Patterns beyond the device window margin take the exact host
+            # path; the REST of the batch still runs on device (an oversized
+            # straggler must not poison the whole batch).
+            short_idx = [
+                i for i in range(len(patterns)) if i not in set(long_idx)
+            ]
+            if short_idx:
+                for i, lines in zip(
+                    short_idx,
+                    self._search_batch([patterns[i] for i in short_idx]),
+                ):
+                    out[i] = lines
+            for i, lines in zip(
+                long_idx,
+                self._search_host([patterns[i] for i in long_idx]),
+            ):
+                out[i] = lines
+            return out
+        packed, lengths = search_ops.pack_patterns(patterns)
+        idx = self._index
+        with self._prof.phase('probe'):
+            lo, cnt = idx.probe(packed, lengths)
         with self._prof.phase('extract'):
-            # One vectorized extraction per chunk (ops/extract.py); chunk-major
-            # concatenation preserves the per-pattern result order.
-            for c, chunk in enumerate(self._chunks):
-                per = self._tables[c].extract_lines_batch(
-                    chunk.suffix_array, lo[c], cnt[c]
-                )
+            # One vectorized extraction per row; row-major concatenation
+            # preserves the per-pattern result order.
+            for r in range(idx.num_chunks):
+                per = self._extract_row(r, packed, lengths, lo[r], cnt[r])
                 for b, lines in per.items():
                     out[b].extend(lines)
+        return out
+
+    def _extract_row(
+        self,
+        r: int,
+        packed: np.ndarray,
+        lengths: np.ndarray,
+        lo_r: np.ndarray,
+        cnt_r: np.ndarray,
+    ) -> typing.Dict[int, typing.List[str]]:
+        """Materialize one probe row's lines.
+
+        Three routes, cheapest applicable first:
+
+        - singleton row: gather positions from the container's host SA
+          (zero device traffic — how the non-merged/upload geometry works);
+        - merged row, hit volume within the readback budget: compact device
+          flat-gather of (position, query) pairs, read back, filter
+          boundary-crossing occurrences by position;
+        - merged row, huge batch: re-derive per-source-chunk bounds with the
+          native host bisection (ops/native.py) — bounded by host CPU
+          instead of the device link, inherently crossing-free.
+        """
+        import jax.numpy as jnp
+
+        idx = self._index
+        table = self.row_tables[r]
+        group = idx.groups[r]
+        if len(group) == 1:
+            chunk = self._chunks[group[0]]
+            return table.extract_lines_batch(
+                chunk.suffix_array, lo_r, cnt_r
+            )
+        total = int(np.maximum(cnt_r, 0).sum())
+        from .ops import native as native_ops  # local: optional backend
+
+        use_host = (
+            total * 4 > self._READBACK_CAP
+            and native_ops.probe_batch_available()
+        )
+        if not use_host:
+            pos_d, qid_d = search_ops.gather_hits_flat(
+                idx.sa[r], jnp.asarray(lo_r), jnp.asarray(cnt_r), total
+            )
+            pos = np.asarray(pos_d).astype(np.int64)
+            qid = np.asarray(qid_d).astype(np.int64)
+            valid = qid >= 0
+            pos, qid = pos[valid], qid[valid]
+            pos, qid = self._drop_crossings(r, packed, lengths, pos, qid)
+            return table.lines_for_positions(qid, pos)
+        # Host route: per source chunk, native bisection + host SA gather.
+        segs: typing.List[np.ndarray] = []
+        poss: typing.List[np.ndarray] = []
+
+        def one(j_c):
+            j, c = j_c
+            chunk = self._chunks[c]
+            lo_c, cnt_c = native_ops.probe_batch_native(
+                chunk.data, chunk.suffix_array, packed, lengths
+            )
+            cnt_c = np.maximum(cnt_c.astype(np.int64), 0)
+            seg = np.repeat(np.arange(cnt_c.size, dtype=np.int64), cnt_c)
+            firsts = np.cumsum(cnt_c) - cnt_c
+            offs = (
+                np.repeat(lo_c.astype(np.int64) - firsts, cnt_c)
+                + np.arange(int(cnt_c.sum()), dtype=np.int64)
+            )
+            pos = chunk.suffix_array[offs].astype(np.int64)
+            return seg, pos + int(idx.group_offsets[r][j])
+
+        with ThreadPoolExecutor(
+            max_workers=min(8, os.cpu_count() or 1)
+        ) as pool:
+            for seg, pos in pool.map(one, list(enumerate(group))):
+                segs.append(seg)
+                poss.append(pos)
+        seg = np.concatenate(segs) if segs else np.zeros(0, np.int64)
+        pos = np.concatenate(poss) if poss else np.zeros(0, np.int64)
+        return table.lines_for_positions(seg, pos)
+
+    def _drop_crossings(
+        self,
+        r: int,
+        packed: np.ndarray,
+        lengths: np.ndarray,
+        pos: np.ndarray,
+        qid: np.ndarray,
+    ) -> typing.Tuple[np.ndarray, np.ndarray]:
+        """Drop merged-row occurrences that span a source-chunk boundary
+        (possible only for patterns containing ``\\n`` — every chunk ends
+        with one; see DeviceIndex.boundary_crossings)."""
+        ends = self._index.boundaries[r]
+        if ends.size == 0 or pos.size == 0:
+            return pos, qid
+        jpos = np.arange(packed.shape[1])[None, :]
+        has_nl = ((packed == 0x0A) & (jpos < lengths[:, None])).any(axis=1)
+        if not has_nl.any():
+            return pos, qid
+        L = lengths.astype(np.int64)[qid]
+        check = has_nl[qid] & (L >= 2)
+        crosses = check & (
+            np.searchsorted(ends, pos, side='right')
+            != np.searchsorted(ends, pos + L - 1, side='right')
+        )
+        keep = ~crosses
+        return pos[keep], qid[keep]
+
+    def _search_host(
+        self, patterns: typing.List[bytes]
+    ) -> typing.List[typing.List[str]]:
+        """Exact host-side search (any pattern length): native batched
+        bisection per source chunk when available, scalar python bisection
+        otherwise.  Used for patterns beyond the device window margin."""
+        idx = self._index
+        out: typing.List[typing.List[str]] = [[] for _ in patterns]
+        stride = max(1, max(len(p) for p in patterns))
+        packed = np.zeros((len(patterns), stride), dtype=np.uint8)
+        plens = np.zeros(len(patterns), dtype=np.int32)
+        for i, p in enumerate(patterns):
+            packed[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+            plens[i] = len(p)
+        for r in range(idx.num_chunks):
+            table = self.row_tables[r]
+            segs, poss = [], []
+            for j, c in enumerate(idx.groups[r]):
+                chunk = self._chunks[c]
+                if native_available_for_probe():
+                    from .ops import native as native_ops
+
+                    lo_c, cnt_c = native_ops.probe_batch_native(
+                        chunk.data, chunk.suffix_array, packed, plens
+                    )
+                else:
+                    data = chunk.data.tobytes()
+                    lo_c = np.zeros(len(patterns), dtype=np.int64)
+                    cnt_c = np.zeros(len(patterns), dtype=np.int64)
+                    for b, pat in enumerate(patterns):
+                        lo_c[b], cnt_c[b] = search_ops.host_probe_bounds(
+                            data, chunk.suffix_array, pat
+                        )
+                cnt_c = np.maximum(cnt_c.astype(np.int64), 0)
+                seg = np.repeat(
+                    np.arange(cnt_c.size, dtype=np.int64), cnt_c
+                )
+                firsts = np.cumsum(cnt_c) - cnt_c
+                offs = (
+                    np.repeat(lo_c.astype(np.int64) - firsts, cnt_c)
+                    + np.arange(int(cnt_c.sum()), dtype=np.int64)
+                )
+                segs.append(seg)
+                poss.append(
+                    chunk.suffix_array[offs].astype(np.int64)
+                    + int(idx.group_offsets[r][j])
+                )
+            seg = np.concatenate(segs) if segs else np.zeros(0, np.int64)
+            pos = np.concatenate(poss) if poss else np.zeros(0, np.int64)
+            for b, lines in table.lines_for_positions(seg, pos).items():
+                out[b].extend(lines)
         return out
 
     def search(self, substring: str) -> typing.List[str]:

@@ -17,6 +17,7 @@ pysubstringsearch_tpu.parallel).
 
 from __future__ import annotations
 
+import os
 import typing
 
 import jax
@@ -39,12 +40,18 @@ class DeviceIndex:
     #: wins.
     DEEP_TABLE_MIN_CHUNK = 8 << 20
 
+    #: Default merged-row text cap for derive mode: pads to 272 MiB, the
+    #: largest per-row derive the 16 GB HBM build transients are known to
+    #: fit (measured round 2; env-tunable).
+    MERGE_CAP_DEFAULT = 256 << 20
+
     def __init__(
         self,
         chunks: typing.Sequence[Chunk],
         *,
         num_limbs: typing.Optional[int] = None,
         mode: str = 'auto',
+        merge: typing.Optional[bool] = None,
     ) -> None:
         """``mode`` selects how the device-resident arrays come to exist:
 
@@ -60,14 +67,68 @@ class DeviceIndex:
           remote-attach tunnel measures H2D ~5-12 MB/s, D2H ~1-5 MB/s — a
           67 MB chunk's limbs alone would take minutes to upload).
         - ``'auto'``: derive on accelerator backends, upload on CPU.
+
+        ``merge`` (derive mode only; default on, ``TPUSS_MERGE=0`` disables):
+        container chunks are CONCATENATED into merged probe rows of up to
+        ``TPUSS_MERGE_CAP`` bytes and the SA of each merged text is derived
+        on device.  The container's chunking is a build/IO artifact (the
+        reference chunks at 512 MiB because its C kernel is int32-bound,
+        src/lib.rs:57); probe cost scales with row count x lanes, so the
+        device index re-derives its own geometry.  A probe over a merged
+        row can additionally match occurrences that span a source-chunk
+        boundary — only possible for patterns containing ``\\n`` (every
+        chunk ends with one) — which callers filter by position
+        (:meth:`boundary_crossings`; the Reader's extraction drops them).
         """
-        self.num_chunks = len(chunks)
+        self.num_source_chunks = len(chunks)
         self._batch_cache = None  # last grouped batch (see _group_batch)
         if mode == 'auto':
             mode = 'upload' if jax.default_backend() == 'cpu' else 'derive'
         if mode not in ('upload', 'derive'):
             raise ValueError(f'unknown DeviceIndex mode: {mode!r}')
         self.mode = mode
+        if merge is None:
+            merge = os.environ.get('TPUSS_MERGE', '1') != '0'
+        merge = merge and mode == 'derive' and len(chunks) > 1
+        if merge:
+            cap = int(
+                os.environ.get('TPUSS_MERGE_CAP', str(self.MERGE_CAP_DEFAULT))
+            )
+            groups: typing.List[typing.List[int]] = []
+            cur: typing.List[int] = []
+            size = 0
+            for i, c in enumerate(chunks):
+                if cur and size + c.data.size > cap:
+                    groups.append(cur)
+                    cur, size = [], 0
+                cur.append(i)
+                size += c.data.size
+            if cur:
+                groups.append(cur)
+        else:
+            groups = [[i] for i in range(len(chunks))]
+        #: groups[r] = container-chunk indices concatenated into probe row r.
+        self.groups = groups
+        self.merged = any(len(g) > 1 for g in groups)
+        #: Host copy of each probe row's text (shared, not copied, for
+        #: singleton rows) and the interior source-chunk end offsets.
+        self.row_data: typing.List[np.ndarray] = []
+        self.boundaries: typing.List[np.ndarray] = []
+        for g in groups:
+            if len(g) == 1:
+                self.row_data.append(chunks[g[0]].data)
+                self.boundaries.append(np.zeros(0, dtype=np.int64))
+            else:
+                datas = [chunks[i].data for i in g]
+                self.row_data.append(np.concatenate(datas))
+                ends = np.cumsum([d.size for d in datas])[:-1]
+                self.boundaries.append(ends.astype(np.int64))
+        #: Start offset of each source chunk within its row (parallel to
+        #: ``groups``) — extraction maps per-chunk positions into row space.
+        self.group_offsets: typing.List[np.ndarray] = [
+            np.concatenate(([0], b)).astype(np.int64) for b in self.boundaries
+        ]
+        self.num_chunks = len(groups)  # probe ROWS (historical name)
         # Limb encoding (ops/search.py): rank-packed digits when the
         # alphabet is small enough for them to beat raw bytes (5-6 bytes per
         # int32 gather, NUL-safe), raw 4-byte packing for big NUL-free
@@ -102,12 +163,16 @@ class DeviceIndex:
             self.tables = jnp.zeros(
                 (0, search_ops.BUCKET_TABLE_SIZE), jnp.int32
             )
+            self.limbs = jnp.zeros((0, 8), jnp.int32)
+            rank, pres_i = search_ops.identity_rank()
+            self.rank = jnp.asarray(rank)
+            self.present = jnp.asarray(pres_i)
             return
-        max_n = max(c.data.size for c in chunks)
+        max_n = max(d.size for d in self.row_data)
         # Margin so suffix windows up to PAD_MARGIN bytes never clamp.
         n_pad = _pad_len(max_n + search_ops.PAD_MARGIN)
         self.n_pad = n_pad
-        n = np.array([c.data.size for c in chunks], dtype=np.int32)
+        n = np.array([d.size for d in self.row_data], dtype=np.int32)
         self.lengths = jnp.asarray(n)
         if self.kind in ('ranked', 'raw'):
             # Alphabet-ranked seed table: rank bytes through the union
@@ -182,11 +247,11 @@ class DeviceIndex:
             search_ops.KEY_LIMBS if self.kind == 'digit'
             else search_ops.RAW_LIMBS
         )
-        if not chunks:
+        if not self.row_data:
             return cap
-        max_n = max(c.data.size for c in chunks)
+        max_n = max(d.size for d in self.row_data)
         n_pad = _pad_len(max_n + search_ops.PAD_MARGIN)
-        C = len(chunks)
+        C = len(self.row_data)
         table_bytes = 4 * (self._base ** self._depth + 1)
         base = C * (5 * n_pad + table_bytes)
         budget = self._device_hbm_budget()
@@ -234,6 +299,7 @@ class DeviceIndex:
         self.limbs = jnp.asarray(limbs)
 
     def _init_derive(self, chunks, n_pad, depth):
+        del chunks  # derive builds from self.row_data (merged rows)
         # Two dispatches per chunk, not one fused program: SA-build scratch
         # and the [N, num_limbs] limb matrix must not be live simultaneously
         # (see derive_sa_jit docstring — fused exceeds HBM at reference
@@ -245,15 +311,17 @@ class DeviceIndex:
         derive_sa = search_ops.derive_sa_jit()
         set_row = search_ops.set_row_jit()
         C = self.num_chunks
-        # Pass 1 — text upload + device SA per chunk.
+        # Pass 1 — text upload + device SA per row (a row is the merged
+        # concatenation of its group's source chunks; the SA of the merged
+        # text is derived directly — no host SA for it ever exists).
         texts = jnp.zeros((C, n_pad), jnp.uint8)
         sas = jnp.zeros((C, n_pad), jnp.int32)
-        for i, c in enumerate(chunks):
+        for i, d in enumerate(self.row_data):
             row = np.zeros((n_pad,), dtype=np.uint8)
-            row[: c.data.size] = c.data
+            row[: d.size] = d
             t = jnp.asarray(row)
             texts = set_row(texts, jnp.int32(i), t)
-            sa = derive_sa(t, jnp.int32(c.data.size))
+            sa = derive_sa(t, jnp.int32(d.size))
             sas = set_row(sas, jnp.int32(i), sa)
             del t, sa
         # Pass 2 — limb planes + seed tables, written straight into the
@@ -273,8 +341,8 @@ class DeviceIndex:
             else:
                 plane_into = search_ops.derive_limb_raw_jit(depth)
             table_into = search_ops.derive_table_raw_jit(self._base, depth)
-            for i, c in enumerate(chunks):
-                n_i = jnp.int32(c.data.size)
+            for i, d in enumerate(self.row_data):
+                n_i = jnp.int32(d.size)
                 t_i, sa_i = texts[i], sas[i]
                 src = (
                     pack(t_i, n_i, self.rank)
@@ -290,9 +358,9 @@ class DeviceIndex:
                 del t_i, sa_i, src
         else:
             derive_aux = search_ops.derive_aux_jit(self.num_limbs, depth)
-            for i, c in enumerate(chunks):
+            for i, d in enumerate(self.row_data):
                 lb, tb = derive_aux(
-                    texts[i], jnp.int32(c.data.size), sas[i]
+                    texts[i], jnp.int32(d.size), sas[i]
                 )
                 limbs = set_row(limbs, jnp.int32(i), lb)
                 tables = set_row(tables, jnp.int32(i), tb)
@@ -310,14 +378,24 @@ class DeviceIndex:
         (deep text refinement) — packing each class to its natural width
         and padding its size to a power of two (min 8, pad lanes scatter to
         index B: dropped) so the number of compiled programs stays bounded.
-        Memoized on the batch bytes (``_batch_cache``): repeat probes of the
-        same batch (the benchmark's dispatch-slope loop, retry paths) reuse
-        the uploaded operands instead of re-crossing the host-device link.
+        Memoized on the batch arrays (``_batch_cache``): repeat probes of
+        the same batch (the benchmark's dispatch-slope loop, retry paths)
+        reuse the uploaded operands instead of re-crossing the link.
         """
-        key = (patterns.shape, patterns.tobytes(), lengths.tobytes())
+        # Memo check: object identity first (the repeat-probe case — e.g.
+        # the benchmark's dispatch-slope loop reuses one array), then a
+        # no-copy array compare.  Unlike hashing the bytes, equality cannot
+        # silently alias two different batches, and unlike ``tobytes()`` it
+        # allocates nothing.
         cached = self._batch_cache
-        if cached is not None and cached[0] == key:
-            return cached[1], cached[2]
+        if cached is not None:
+            cp, cl, cspec, cflat = cached
+            if cp is patterns or (
+                cp.shape == patterns.shape
+                and np.array_equal(cp, patterns)
+                and np.array_equal(cl, lengths)
+            ):
+                return cspec, cflat
         depth = self._depth
         D = self._limb_bytes
         cover = self.cover_bytes
@@ -353,7 +431,7 @@ class DeviceIndex:
                 jnp.asarray(sub), jnp.asarray(sub_len), jnp.asarray(idx_pad)
             ]
         spec = tuple(spec)
-        self._batch_cache = (key, spec, flat)
+        self._batch_cache = (patterns, lengths, spec, flat)
         return spec, flat
 
     def probe_device(
@@ -395,12 +473,77 @@ class DeviceIndex:
             self.rank, self.present, *flat,
         )
 
+    def boundary_crossings(
+        self,
+        patterns: np.ndarray,  # uint8 [B, L]
+        lengths: np.ndarray,  # int32 [B]
+    ) -> np.ndarray:
+        """int32 [C, B]: occurrences counted by a merged-row probe that span
+        a source-chunk boundary (not matches under reference semantics —
+        the reference never matches across chunks, src/lib.rs:201-287).
+
+        Every source chunk ends with ``\\n`` (Writer invariant), so a
+        crossing occurrence necessarily contains a newline — patterns
+        without one are exact for free.  For the rare rest, occurrences are
+        counted in the 2L-2 byte window around each boundary with an
+        overlapping-find loop; an occurrence spanning several boundaries is
+        attributed to the first one it crosses (counted once).
+        """
+        patterns = np.asarray(patterns)
+        lengths = np.asarray(lengths)
+        B = patterns.shape[0]
+        out = np.zeros((self.num_chunks, B), dtype=np.int32)
+        if not self.merged or B == 0:
+            return out
+        jpos = np.arange(patterns.shape[1])[None, :]
+        has_nl = ((patterns == 0x0A) & (jpos < lengths[:, None])).any(axis=1)
+        for bi in np.flatnonzero(has_nl):
+            L = int(lengths[bi])
+            if L < 2:
+                continue
+            pat = patterns[bi, :L].tobytes()
+            for r, ends in enumerate(self.boundaries):
+                if ends.size == 0:
+                    continue
+                data = self.row_data[r].tobytes()
+                total = 0
+                prev = 0
+                for e in ends.tolist():
+                    start = max(prev, e - L + 1)
+                    window = data[start: e + L - 1]
+                    o = window.find(pat)
+                    while o != -1:
+                        if start + o <= e - 1:  # starts before the boundary
+                            total += 1
+                        o = window.find(pat, o + 1)
+                    prev = e
+                out[r, bi] = total
+        return out
+
+    def count_matches(
+        self,
+        patterns: np.ndarray,  # uint8 [B, L]
+        lengths: np.ndarray,  # int32 [B]
+    ) -> np.ndarray:
+        """int32 [C, B] exact per-row match counts under reference semantics
+        (merged-row probe counts minus boundary crossings)."""
+        _, cnt = self.probe(patterns, lengths)
+        return cnt - self.boundary_crossings(patterns, lengths)
+
     def probe(
         self,
         patterns: np.ndarray,  # uint8 [B, L]
         lengths: np.ndarray,  # int32 [B]
     ) -> typing.Tuple[np.ndarray, np.ndarray]:
-        """(lower, count) int32 [C, B]: SA range of matches per (chunk, query)."""
+        """(lower, count) int32 [C, B]: SA range of matches per (row, query).
+
+        On a MERGED row (see ``merge`` in the constructor) the count is the
+        raw merged-text occurrence count: for patterns containing ``\\n`` it
+        can include occurrences spanning source-chunk boundaries, which are
+        not matches under reference semantics.  Gather-and-filter consumers
+        need the raw contiguous range (spurious entries are interspersed);
+        count consumers subtract :meth:`boundary_crossings` (or call
+        :meth:`count_matches`)."""
         B = patterns.shape[0]
         if (
             self.num_chunks == 0

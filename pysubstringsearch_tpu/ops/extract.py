@@ -88,7 +88,9 @@ class LineTable:
         queries with at least one hit; line order is ascending line id,
         matching :meth:`extract_unique_lines`.
         """
-        count = np.asarray(count, dtype=np.int64)
+        # Clamp defensively: a foreign/corrupt container (or a probe bug)
+        # must degrade to "no hits", not crash np.repeat on a negative count.
+        count = np.maximum(np.asarray(count, dtype=np.int64), 0)
         lower = np.asarray(lower, dtype=np.int64)
         total = int(count.sum())
         if total == 0:
@@ -98,7 +100,21 @@ class LineTable:
         ar = np.arange(total, dtype=np.int64)
         seg = np.repeat(np.arange(count.size, dtype=np.int64), count)
         offsets = np.repeat(lower - firsts, count) + ar
-        ids = self.line_ids(suffix_array[offsets])
+        return self.lines_for_positions(seg, suffix_array[offsets])
+
+    def lines_for_positions(
+        self,
+        seg: np.ndarray,  # int [T] owning query index per hit
+        positions: np.ndarray,  # int [T] text position per hit
+    ) -> typing.Dict[int, typing.List[str]]:
+        """Per-query deduplicated lines for flat (query, position) hits —
+        the back half of :meth:`extract_lines_batch`, also fed directly by
+        the Reader's device flat-gather readback and the native host-probe
+        route."""
+        if positions.size == 0:
+            return {}
+        seg = np.asarray(seg, dtype=np.int64)
+        ids = self.line_ids(positions)
         key = seg * np.int64(self.num_lines + 1) + ids
         uniq = np.unique(key)
         useg = uniq // np.int64(self.num_lines + 1)

@@ -95,6 +95,19 @@ def _load() -> typing.Optional[ctypes.CDLL]:
                 ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_uint8),
             ]
+        if hasattr(lib, 'tpuss_probe_batch'):
+            lib.tpuss_probe_batch.restype = ctypes.c_int32
+            lib.tpuss_probe_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
         _LIB = lib
         return _LIB
 
@@ -145,6 +158,49 @@ def suffix_array_int_native(data: np.ndarray, k: int) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f'native int SA-IS failed with code {rc}')
     return sa
+
+
+def probe_batch_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, 'tpuss_probe_batch')
+
+
+def probe_batch_native(
+    data: np.ndarray,
+    sa: np.ndarray,
+    packed: np.ndarray,  # uint8 [B, stride], zero padded
+    lengths: np.ndarray,  # int32 [B]
+) -> typing.Tuple[np.ndarray, np.ndarray]:
+    """(lower, count) int32 [B] via the native host bisection (the host twin
+    of the device probe; reference per-chunk searches: src/lib.rs:212-252).
+
+    Releases the GIL for the whole batch, so callers can thread across
+    (chunk, pattern-block) pairs.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, 'tpuss_probe_batch'):
+        raise RuntimeError('native probe_batch is not available')
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    sa = np.ascontiguousarray(sa, dtype=np.int32)
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    B, stride = packed.shape
+    lo = np.empty(B, dtype=np.int32)
+    cnt = np.empty(B, dtype=np.int32)
+    rc = lib.tpuss_probe_batch(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int32(data.size),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(stride),
+        ctypes.c_int32(B),
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise RuntimeError(f'native probe_batch failed with code {rc}')
+    return lo, cnt
 
 
 def unbwt_native(u: np.ndarray, primary_index: int) -> np.ndarray:

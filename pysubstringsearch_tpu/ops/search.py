@@ -1265,6 +1265,41 @@ def gather_hit_positions(sa, lower, count, cap: int):
     return _gather_hits_jit(cap)(sa, lower, count)
 
 
+@functools.lru_cache(maxsize=None)
+def _gather_flat_jit(T: int):
+    """Jitted COMPACT hit gather: all queries' SA ranges flattened into one
+    [T] positions array plus the owning query id per slot (-1 pads).
+
+    Unlike the [B, cap] padded form, readback volume equals the true hit
+    count (padded to the T bucket) — the shape that matters when the
+    device->host link is the bottleneck (ARCHITECTURE.md measured rates).
+    """
+
+    def gather(sa, lower, count):
+        N = sa.shape[0]
+        cum = jnp.cumsum(count)
+        start = cum - count
+        t = lax.broadcasted_iota(jnp.int32, (T,), 0)
+        q = jnp.searchsorted(cum, t, side='right').astype(jnp.int32)
+        qc = jnp.clip(q, 0, count.shape[0] - 1)
+        slot = jnp.take(lower, qc) + (t - jnp.take(start, qc))
+        pos = jnp.take(sa, jnp.clip(slot, 0, N - 1))
+        valid = t < cum[-1]
+        return (
+            jnp.where(valid, pos, -1),
+            jnp.where(valid, qc, -1),
+        )
+
+    return jax.jit(gather)
+
+
+def gather_hits_flat(sa, lower, count, total: int):
+    """(positions [T], query_ids [T]) device arrays for all hits of a batch,
+    T = ``total`` rounded up to a power-of-two shape bucket; -1 pads."""
+    T = max(8, 1 << int(np.ceil(np.log2(max(1, total)))))
+    return _gather_flat_jit(T)(sa, lower, count)
+
+
 def host_probe_bounds(data: bytes, sa: np.ndarray, pattern: bytes):
     """(lower, count) for one pattern on the host — exact scalar bisection
     used for patterns longer than PAD_MARGIN (outside the device windows)."""

@@ -192,7 +192,7 @@ def test_device_index_derive_matches_upload():
         chunks.append(Chunk(data=data, suffix_array=suffix_array_numpy(data)))
 
     up = DeviceIndex(chunks, mode='upload')
-    dv = DeviceIndex(chunks, mode='derive')
+    dv = DeviceIndex(chunks, mode='derive', merge=False)
     for i, c in enumerate(chunks):
         n = c.data.size
         assert np.array_equal(
