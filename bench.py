@@ -6,23 +6,27 @@ published per-query latency (497 us for search('google') on its 500 MB index,
 reference README.md:48-49 — i.e. 10k sequential queries would cost ~4.97 s).
 
 Two-process structure: the index is BUILT in a subprocess and the query
-measurements run in a fresh process — the build's working set (chunk buffers,
-SA scratch) stays out of the query process, and the split mirrors real
-deployments (index once, serve many).  The query process uploads only the
-chunk text and derives SA/limbs/tables on device (DeviceIndex 'derive' mode):
-this environment's remote-attach link measures ~5-12 MB/s H2D and ~1-5 MB/s
-D2H (ARCHITECTURE.md), so minimizing transferred bytes dominates every other
-load-time concern.
+measurements run in a fresh process — the build's working set stays out of
+the query process, and the split mirrors real deployments (index once, serve
+many).  The query process uploads only the chunk text and derives SA, limbs,
+and tables on device (DeviceIndex 'derive' mode), CONCATENATING the
+container's build-sized chunks into merged probe rows (models/index.py):
+build chunking is tuned for the host SA-IS kernel's cache behavior, probe
+geometry for lanes x rows — the merged derive decouples them.
 
-Extra metrics (build throughput, per-phase timings) go to stderr.
+Probe-program compilation overlaps the derive load: the per-class probe
+executables are AOT-compiled from shapes alone (ops/search.py
+phased_class_exec) on a warm-up thread while the device builds the index.
+
+Extra metrics to stderr: build throughput, time-to-first-query (cold vs
+warm), full-batch END-TO-END latency including line extraction, and
+small-batch (B = 1 / 16 / 256) serving latency.
 
 Env knobs: BENCH_MB (corpus size, default 500 — the reference's published
 headline config, README.md:43-51), BENCH_QUERIES (default 10000),
-BENCH_CHUNK_MB (chunk size, default 256 — a multi-chunk index at the default
-corpus size, exercising the vmapped chunk axis; the reference's own default
-chunking is 512 MiB, src/lib.rs:57, which puts 500 MB in one chunk — set
-BENCH_CHUNK_MB=512 to reproduce that configuration, it is faster since probe
-work scales with chunk count).
+BENCH_CHUNK_MB (build chunk size, default 64 — small chunks keep the
+2-worker SA build pipeline cache-friendly; the probe sees merged rows
+regardless), BENCH_IDX_CACHE (reuse a built index across runs).
 
 Queries are random 4-12 byte substrings sampled at random corpus offsets
 (mostly unique — no dedup shortcut applies), patterned after the reference
@@ -33,6 +37,7 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -99,11 +104,13 @@ def main():
     log(f'backend: {jax.default_backend()}, devices: {jax.devices()}')
 
     import pysubstringsearch_tpu as pss
+    from pysubstringsearch_tpu.models.index import DeviceIndex
+    from pysubstringsearch_tpu.ops import search as search_ops
     from pysubstringsearch_tpu.ops.search import pack_patterns
 
     mb = int(os.environ.get('BENCH_MB', '500'))
     nq = int(os.environ.get('BENCH_QUERIES', '10000'))
-    chunk_mb = int(os.environ.get('BENCH_CHUNK_MB', '256'))
+    chunk_mb = int(os.environ.get('BENCH_CHUNK_MB', '64'))
 
     corpus, words = make_corpus(mb)
     log(f'corpus: {len(corpus) / 1e6:.1f} MB')
@@ -115,9 +122,6 @@ def main():
     # benchmark.  The reference's published numbers specify no hardware at
     # all; ours measure the framework, with the index on RAM-backed storage.
     tmp_root = '/dev/shm' if os.path.isdir('/dev/shm') else None
-    # BENCH_IDX_CACHE=<dir>: reuse a previously built index for this
-    # (mb, chunk_mb) config — iteration on the query path without paying
-    # the build each run.  Build numbers are only reported for fresh builds.
     cache_dir = os.environ.get('BENCH_IDX_CACHE')
     if cache_dir:
         d = os.path.join(cache_dir, f'bench-{mb}mb-{chunk_mb}chunk')
@@ -156,56 +160,66 @@ def main():
             f'(index {os.path.getsize(idx_path) / 1e6:.1f} MB, '
             f'subprocess wall {time.time() - t0:.1f}s)')
 
-    # ---- load (H2D only; no readbacks before the timed probes) ----
-    t0 = time.time()
-    r = pss.Reader(idx_path)
-    idx = r._index
-    load_s = time.time() - t0
-    log(f'load ({idx.mode}, {idx.num_chunks} chunks, '
-        f'pad {idx.n_pad >> 20} MiB, seed table base {idx._base}^'
-        f'{idx._depth}, {idx.num_limbs} raw limbs): {load_s:.2f}s')
-
+    # ---- patterns (host-side, before the load so warm-up can overlap) ----
     rng = np.random.default_rng(1)
-    # Random 4-12 byte substrings at random offsets: realistic, mostly
-    # unique (so no caching/dedup shortcut can flatter the number).
     offs = rng.integers(0, len(corpus) - 16, size=nq)
     lens = rng.integers(4, 13, size=nq)
-    pats = [corpus[o : o + l].replace(b'\n', b'x') for o, l in zip(offs, lens)]
+    pats = [corpus[o: o + l].replace(b'\n', b'x') for o, l in zip(offs, lens)]
     log(f'{nq} patterns, {len(set(pats))} unique')
     packed, lengths = pack_patterns(pats)
 
+    # ---- load: derive on device + AOT probe compiles on a thread ----
+    t0 = time.time()
+    r = pss.Reader(idx_path)
+    parse_s = time.time() - t0
+    plan = DeviceIndex.plan(r._chunks)
+    keys = plan.probe_class_keys(lengths)
+    warm_done = {}
+
+    def warm():
+        tw = time.time()
+        search_ops.warm_phased_classes(keys)
+        warm_done['s'] = time.time() - tw
+
+    warm_t = threading.Thread(target=warm, daemon=True)
+    warm_t.start()
+    t0 = time.time()
+    idx = r._index
+    load_s = time.time() - t0
+    warm_t.join()
+    warm_s = warm_done.get('s', 0.0)
+    log(f'load ({idx.mode}, rows {idx.num_chunks} x pad '
+        f'{idx.n_pad >> 20} MiB from {idx.num_source_chunks} chunks, '
+        f'seed table base {idx._base}^{idx._depth}, '
+        f'{idx.num_limbs} {idx.kind} limbs): '
+        f'container parse {parse_s:.1f}s, derive {load_s:.1f}s, '
+        f'probe compile (overlapped) {warm_s:.1f}s')
+
     # ---- timed probes via the dispatch-slope method ----
-    # Exactly ONE device program is compiled for the whole benchmark: the
-    # production probe (the same phased_batch_jit the Reader uses).  Compiles
-    # through this environment's remote tunnel cost minutes per distinct
-    # program (persistently cached afterwards), so the old in-jit-repetition
-    # slope — which needed a second, R-times-larger program — is replaced by
-    # a dispatch slope: K back-to-back async dispatches of the same program,
-    # forced by one scalar readback of the last result (the runtime executes
-    # dispatches in order, and the slice depends on the full [C, B] output).
-    # slope = (t_K - t_1) / (K - 1) cancels the constant readback transport;
-    # what remains is device time + per-dispatch send overhead, which is the
-    # honest per-batch serving cost.
+    # All class dispatches are async on one stream; forcing the LAST part's
+    # scalar waits for the whole batch.  slope = (t_K - t_1)/(K - 1) cancels
+    # the constant readback transport; what remains is device time plus
+    # per-dispatch send overhead — the honest per-batch serving cost.
     import jax.numpy as jnp
 
     K = int(os.environ.get('BENCH_SLOPE_REPS', '8'))
-    packed, lengths = jnp.asarray(packed), jnp.asarray(lengths)  # H2D once
+    packed_np, lengths_np = packed, lengths
     t0 = time.time()
-    lo, cnt = idx.probe_device(packed, lengths)
-    checksum = int(cnt[0, 0]) + int(lo[0, 0])
-    warmup_s = time.time() - t0
-    log(f'probe warmup (compile+transport): {warmup_s:.2f}s, '
-        f'checksum {checksum}; time-to-first-query '
-        f'{load_s + warmup_s:.1f}s')
+    parts = idx.probe_device_parts(packed_np, lengths_np)
+    checksum = int(parts[-1][2][0, 0]) + int(parts[-1][1][0, 0])
+    first_probe_s = time.time() - t0
+    ttfq = parse_s + max(load_s, warm_s) + first_probe_s
+    log(f'first probe (dispatch+transport): {first_probe_s:.2f}s, '
+        f'checksum {checksum}; time-to-first-query {ttfq:.1f}s')
 
     def run_k(k: int) -> float:
         t0 = time.time()
-        for i in range(k):
-            lo, cnt = idx.probe_device(packed, lengths)
-        int(cnt[0, 0])
+        for _ in range(k):
+            parts = idx.probe_device_parts(packed_np, lengths_np)
+        int(parts[-1][2][0, 0])
         return time.time() - t0
 
-    run_k(K)  # warm the tiny slice program + steady-state the pipeline
+    run_k(K)  # steady-state the pipeline
     t1s, tKs = [], []
     for _ in range(5):
         t1s.append(run_k(1))
@@ -217,20 +231,28 @@ def main():
     log(f'{nq} queries: p50 {p50 * 1e3:.2f} ms/batch -> '
         f'{qps / 1e6:.3f} M queries/s (t1 {t1 * 1e3:.1f} tK {tK * 1e3:.1f})')
 
-    # ---- readback + FULL-batch host extraction (all nq patterns) ----
-    lo_h, cnt_h = np.asarray(lo), np.asarray(cnt)
-    total_hits = int(cnt_h.sum())
+    # ---- END-TO-END: the full public search path, lines materialized ----
+    pats_set = [p.decode('latin-1') for p in pats]
     t0 = time.time()
-    nlines = 0
-    for c, chunk in enumerate(r._chunks):
-        per = r._tables[c].extract_lines_batch(
-            chunk.suffix_array, lo_h[c], cnt_h[c]
-        )
-        nlines += sum(len(v) for v in per.values())
-    ext_s = time.time() - t0
-    log(f'total hits {total_hits}; full line extraction for {nq} patterns '
-        f'{ext_s * 1e3:.1f} ms, {nlines} lines '
-        f'({nlines / max(ext_s, 1e-9) / 1e6:.2f} M lines/s)')
+    res = r.search_multiple(pats_set)
+    e2e_s = time.time() - t0
+    nlines = len(res)
+    log(f'end-to-end search_multiple({nq}): {e2e_s:.2f}s, '
+        f'{nlines} lines returned ({nlines / max(e2e_s, 1e-9) / 1e6:.2f} '
+        f'M lines/s incl. probe+readback+dedup+decode)')
+
+    # ---- small-batch serving latency (end-to-end, lines materialized) ----
+    for b in (1, 16, 256):
+        sub = pats_set[:b]
+        r.search_multiple(sub)  # warm any new class shapes
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            r.search_multiple(sub)
+            ts.append(time.time() - t0)
+        lat = sorted(ts)[len(ts) // 2]
+        log(f'small-batch B={b}: {lat * 1e3:.1f} ms end-to-end '
+            f'({lat / b * 1e6:.0f} us/query)')
 
     # Reference equivalent: 497 us/query sequential (README.md:48-49).
     ref_10k = nq * 497e-6
@@ -241,8 +263,8 @@ def main():
         'vs_baseline': round(ref_10k / p50, 2),
     }
     if build_s is not None:
-        log(f'extras: build_mbps={build_mbps:.2f} '
-            f'total_wall={time.time() - t_start:.1f}s')
+        log(f'extras: build_mbps={build_mbps:.2f} ttfq_s={ttfq:.1f} '
+            f'e2e_batch_s={e2e_s:.2f} total_wall={time.time() - t_start:.1f}s')
     print(json.dumps(result), flush=True)
 
 

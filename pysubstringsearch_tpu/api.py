@@ -399,11 +399,23 @@ class Reader:
             )
         total = int(np.maximum(cnt_r, 0).sum())
         from .ops import native as native_ops  # local: optional backend
+        from .ops.suffix_array import host_device_link_mbps
 
-        use_host = (
-            total * 4 > self._READBACK_CAP
-            and native_ops.probe_batch_available()
-        )
+        # Route by estimated cost: the device flat-gather pays a readback of
+        # 4 bytes/hit plus a round trip (and, cold, one compile per size
+        # bucket); the native host bisection pays ~17 us per (query, source
+        # chunk) of CPU.  On a slow remote-attach link the host route wins
+        # at every batch size; on co-located PCIe the device route wins for
+        # all but tiny batches.
+        use_host = False
+        if native_ops.probe_batch_available():
+            _, d2h = host_device_link_mbps()
+            B = packed.shape[0]
+            host_est = B * len(idx.groups[r]) * 17e-6
+            dev_est = 0.03 + total * 4 / max(d2h * 1e6, 1e-9)
+            use_host = (
+                host_est < dev_est or total * 4 > self._READBACK_CAP
+            )
         if not use_host:
             pos_d, qid_d = search_ops.gather_hits_flat(
                 idx.sa[r], jnp.asarray(lo_r), jnp.asarray(cnt_r), total

@@ -52,6 +52,7 @@ class DeviceIndex:
         num_limbs: typing.Optional[int] = None,
         mode: str = 'auto',
         merge: typing.Optional[bool] = None,
+        _plan_only: bool = False,
     ) -> None:
         """``mode`` selects how the device-resident arrays come to exist:
 
@@ -94,15 +95,23 @@ class DeviceIndex:
             cap = int(
                 os.environ.get('TPUSS_MERGE_CAP', str(self.MERGE_CAP_DEFAULT))
             )
+            # Balanced split: rows are stacked as one padded [C, n_pad]
+            # array, so a lopsided tail row wastes HBM for every row and a
+            # plain greedy fill makes one.  Aim each row at total/ngroups
+            # with the cap as a hard ceiling.
+            sizes = [c.data.size for c in chunks]
+            total = sum(sizes)
+            ngroups = max(1, -(-total // cap))
+            target = total / ngroups
             groups: typing.List[typing.List[int]] = []
             cur: typing.List[int] = []
             size = 0
-            for i, c in enumerate(chunks):
-                if cur and size + c.data.size > cap:
+            for i, s in enumerate(sizes):
+                if cur and (size + s > cap or size >= target):
                     groups.append(cur)
                     cur, size = [], 0
                 cur.append(i)
-                size += c.data.size
+                size += s
             if cur:
                 groups.append(cur)
         else:
@@ -193,10 +202,21 @@ class DeviceIndex:
         if num_limbs is None:
             num_limbs = self._auto_num_limbs(chunks)
         self.num_limbs = num_limbs
+        if _plan_only:
+            return
         if mode == 'derive':
             self._init_derive(chunks, n_pad, depth)
         else:
             self._init_upload(chunks, n_pad, depth)
+
+    @classmethod
+    def plan(cls, chunks, **kwargs) -> 'DeviceIndex':
+        """Geometry-only instance — every planning attribute (groups,
+        kind, num_limbs, n_pad, table params, probe_class_keys) without
+        building any device array.  Lets callers AOT-compile the probe
+        ladder (warm_probe / ops.search.warm_phased_classes) in parallel
+        with, or before, the real index load."""
+        return cls(chunks, _plan_only=True, **kwargs)
 
     @property
     def cover_bytes(self) -> int:
@@ -396,81 +416,97 @@ class DeviceIndex:
                 and np.array_equal(cl, lengths)
             ):
                 return cspec, cflat
-        depth = self._depth
-        D = self._limb_bytes
-        cover = self.cover_bytes
-        classes = np.clip(
-            -(-(lengths - depth) // D), 0, self.num_limbs
-        ).astype(np.int64)
-        classes = np.where(lengths > cover, self.num_limbs + 1, classes)
         spec = []
         flat = []
-        for k in np.unique(classes):
-            idx = np.flatnonzero(classes == k)
-            if int(k) <= self.num_limbs:
-                width = depth + D * int(k) if k > 0 else depth
-            else:
-                width = -(-int(lengths[idx].max()) // 4) * 4
-            # Pad class sizes to a coarse grid (pow2 up to 1024, then
-            # multiples of 1024): bounded program count without pow2's up to
-            # 2x lane waste — every padded lane still gathers each iteration.
-            if idx.size <= 1024:
-                Bk = max(8, 1 << int(np.ceil(np.log2(idx.size))))
-            else:
-                Bk = -(-idx.size // 1024) * 1024
+        for Bk, width, deep, idx in search_ops.class_spec(
+            lengths, self._depth, self._limb_bytes, self.cover_bytes,
+            self.num_limbs,
+        ):
             sub = np.zeros((Bk, width), dtype=np.uint8)
             sub_len = np.zeros((Bk,), dtype=np.int32)
             sub[: idx.size, : min(width, patterns.shape[1])] = (
                 patterns[idx, :width]
             )
             sub_len[: idx.size] = lengths[idx]
-            idx_pad = np.full((Bk,), patterns.shape[0], dtype=np.int32)
-            idx_pad[: idx.size] = idx
-            spec.append((Bk, width, width > cover))
-            flat += [
-                jnp.asarray(sub), jnp.asarray(sub_len), jnp.asarray(idx_pad)
-            ]
+            spec.append((Bk, width, deep))
+            flat.append((idx, jnp.asarray(sub), jnp.asarray(sub_len)))
         spec = tuple(spec)
         self._batch_cache = (patterns, lengths, spec, flat)
         return spec, flat
 
-    def probe_device(
+    def probe_device_parts(
         self,
         patterns: np.ndarray,  # uint8 [B, L]
         lengths: np.ndarray,  # int32 [B]
-    ) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
-        """(lower, count) int32 [C, B] as DEVICE arrays — no host readback.
+    ) -> typing.List[typing.Tuple[np.ndarray, jnp.ndarray, jnp.ndarray]]:
+        """Per-class device probe: list of (member indices [Bk'] host,
+        lower [C, Bk] device, count [C, Bk] device) — no host readback.
 
-        The benchmark path: callers that only need device-side results (or
-        want to defer the transfer) use this to keep the process free of
-        D2H round trips.
-
-        Phased-mode batches (ranked/raw limbs) run as ONE fused program over per-phase-class
-        sub-batches (see ops/search.py:phased_grouped_jit): the while_loop
-        bills every lane for the slowest lane's iteration count, and that
-        count is set by the lane's phase class — a host-known function of
-        pattern length — so seed-only patterns cost two table lookups,
-        one-phase patterns ~log2(seed bucket width) iterations, and only
-        the longest class pays its extra re-localization phases.
+        Phased-mode batches (ranked/raw limbs) dispatch one compiled
+        executable per phase class (ops/search.py:phased_class_exec — a
+        canonical shape ladder, AOT-compilable before the index exists):
+        the while_loop bills every lane for the slowest lane's iteration
+        count, and that count is set by the lane's phase class — a
+        host-known function of pattern length — so seed-only patterns cost
+        two table lookups, one-phase patterns ~log2(seed bucket width)
+        iterations, and only the longest class pays its extra
+        re-localization phases.  All dispatches are async on one stream:
+        forcing the LAST part waits for the whole batch.
         """
         if self.kind == 'digit':
             cover = search_ops.key_cover_bytes(self.num_limbs)
             probe = search_ops.limbs_loop_batch_jit(
                 patterns.shape[1] > cover, self.num_limbs
             )
-            return probe(
+            lo, cnt = probe(
                 self.text, self.lengths, self.sa, self.tables, self.limbs,
                 jnp.asarray(patterns), jnp.asarray(lengths),
             )
+            return [(np.arange(patterns.shape[0]), lo, cnt)]
         patterns = np.asarray(patterns)
         lengths = np.asarray(lengths)
         spec, flat = self._group_batch(patterns, lengths)
-        probe = search_ops.phased_grouped_jit(
-            self.num_limbs, patterns.shape[0], spec, self._bits
-        )
-        return probe(
-            self.text, self.lengths, self.sa, self.tables, self.limbs,
-            self.rank, self.present, *flat,
+        # Compile any cold classes in parallel before dispatching (compiles
+        # through a remote tunnel cost tens of seconds each, and the
+        # persistent cache serves them to future processes).
+        table_len = self._base ** self._depth + 1
+        keys = [
+            (self.num_limbs, self._bits, deep, self.num_chunks, self.n_pad,
+             table_len, Bk, width)
+            for (Bk, width, deep) in spec
+        ]
+        search_ops.warm_phased_classes(keys)
+        parts = []
+        for key, (idx, sub, sub_len) in zip(keys, flat):
+            exe = search_ops.phased_class_exec(*key)
+            lo_k, cnt_k = exe(
+                self.text, self.lengths, self.sa, self.tables, self.limbs,
+                self.rank, self.present, sub, sub_len,
+            )
+            parts.append((idx, lo_k, cnt_k))
+        return parts
+
+    def probe_class_keys(self, lengths: np.ndarray):
+        """Executable-cache keys the given batch lengths will dispatch —
+        feed to ops.search.warm_phased_classes to pre-compile (possible
+        from a geometry-only plan(), before any device array exists)."""
+        if self.kind == 'digit' or self.num_chunks == 0:
+            return []
+        table_len = self._base ** self._depth + 1
+        return [
+            (self.num_limbs, self._bits, deep, self.num_chunks, self.n_pad,
+             table_len, Bk, width)
+            for (Bk, width, deep, _) in search_ops.class_spec(
+                np.asarray(lengths), self._depth, self._limb_bytes,
+                self.cover_bytes, self.num_limbs,
+            )
+        ]
+
+    def warm_probe(self, lengths: np.ndarray, parallel: bool = True) -> None:
+        """Pre-compile the probe programs a batch with these pattern lengths
+        will need (no-op when already cached, persistent across processes)."""
+        search_ops.warm_phased_classes(
+            self.probe_class_keys(lengths), parallel
         )
 
     def boundary_crossings(
@@ -552,8 +588,11 @@ class DeviceIndex:
         ):
             zeros = np.zeros((self.num_chunks, B), dtype=np.int32)
             return zeros, zeros.copy()
-        lo, cnt = self.probe_device(patterns, lengths)
-        lo, cnt = np.asarray(lo), np.asarray(cnt)
+        lo = np.zeros((self.num_chunks, B), dtype=np.int32)
+        cnt = np.zeros((self.num_chunks, B), dtype=np.int32)
+        for idx, lo_k, cnt_k in self.probe_device_parts(patterns, lengths):
+            lo[:, idx] = np.asarray(lo_k)[:, : idx.size]
+            cnt[:, idx] = np.asarray(cnt_k)[:, : idx.size]
         if self.raw:
             # NUL-free text cannot contain a pattern with a 0x00 byte, and
             # the raw packing cannot represent one — resolve on the host.

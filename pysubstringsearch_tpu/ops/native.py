@@ -116,6 +116,71 @@ def available() -> bool:
     return _load() is not None
 
 
+# ---------------------------------------------------------------------------
+# CPython extension (native/fastext.c): batch line materialization.  Built
+# on demand like the ctypes kernel; import failure degrades to the python
+# fan-out in ops/extract.py.
+# ---------------------------------------------------------------------------
+
+_FASTEXT = None
+_FASTEXT_TRIED = False
+
+
+def _build_fastext() -> typing.Optional[str]:
+    import sysconfig
+
+    wheel_so = os.path.join(_PKG_ROOT, '_fastext.so')
+    if os.path.exists(wheel_so):
+        return wheel_so
+    src = next(
+        (
+            s
+            for s in (
+                os.path.join(_REPO_ROOT, 'native', 'fastext.c'),
+                os.path.join(_PKG_ROOT, '_native', 'fastext.c'),
+            )
+            if os.path.exists(s)
+        ),
+        None,
+    )
+    if src is None:
+        return None
+    so = os.path.join(os.path.dirname(src), '_fastext.so')
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
+    inc = sysconfig.get_paths()['include']
+    cmd = ['gcc', '-O2', '-shared', '-fPIC', f'-I{inc}', '-o', so, src]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    except (OSError, subprocess.SubprocessError):
+        return so if os.path.exists(so) else None
+    return so
+
+
+def fastext():
+    """The native materialization module, or None when unavailable."""
+    global _FASTEXT, _FASTEXT_TRIED
+    with _LOCK:
+        if _FASTEXT is not None or _FASTEXT_TRIED:
+            return _FASTEXT
+        _FASTEXT_TRIED = True
+        so = _build_fastext()
+        if so is None:
+            return None
+        import importlib.util
+
+        try:
+            spec = importlib.util.spec_from_file_location(
+                'pysubstringsearch_tpu._fastext', so
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+        except Exception:
+            return None
+        _FASTEXT = mod
+        return _FASTEXT
+
+
 def suffix_array_native(data: np.ndarray) -> np.ndarray:
     """SA via the C++ SA-IS kernel; raises if the library is unavailable."""
     lib = _load()

@@ -35,6 +35,8 @@ TPU-shaping decisions (measured on v5e):
 from __future__ import annotations
 
 import functools
+import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import jax.numpy as jnp
@@ -1186,46 +1188,6 @@ def probe_bounds_phased(text, n, sa, table, limbs_flat, rank, present,
 
 
 @functools.lru_cache(maxsize=None)
-def phased_grouped_jit(num_limbs: int, B: int, spec: tuple,
-                       bits: typing.Optional[int] = None):
-    """ONE program running every phase-class sub-probe of a grouped batch.
-
-    The phased ``while_loop`` bills every lane for the slowest lane, and a
-    lane's iteration count is set by its phase class (a host-known function
-    of pattern length) — so the caller splits the batch into per-class
-    sub-batches and this program runs one while_loop per class, each exiting
-    at ITS class's depth, then scatters the sub-results back into the
-    [C, B] output (pad lanes carry index B: dropped).  Fused into a single
-    dispatch because per-class dispatches measured 10x worse through this
-    environment's remote tunnel (each re-sent its operands).
-
-    ``spec`` = ((Bk, width, deep), ...) per class; operands after the index
-    arrays are (patterns [Bk, width] uint8, lengths [Bk] int32, idx [Bk]
-    int32) triples in spec order.
-    """
-
-    def f(text, n, sa, table, limbs, rank, present, *flat):
-        C = text.shape[0]
-        lo = jnp.zeros((C, B), jnp.int32)
-        cnt = jnp.zeros((C, B), jnp.int32)
-        for g, (Bk, width, deep) in enumerate(spec):
-            sub, sub_len, idx = flat[3 * g : 3 * g + 3]
-
-            def one(t, n_, s, tb, lb, sub=sub, sub_len=sub_len, deep=deep):
-                return probe_bounds_phased(
-                    t, n_, s, tb, lb, rank, present, sub, sub_len,
-                    num_limbs, deep, bits,
-                )
-
-            lo_k, cnt_k = jax.vmap(one)(text, n, sa, table, limbs)
-            lo = lo.at[:, idx].set(lo_k, mode='drop')
-            cnt = cnt.at[:, idx].set(cnt_k, mode='drop')
-        return lo, cnt
-
-    return jax.jit(f)
-
-
-@functools.lru_cache(maxsize=None)
 def phased_batch_jit(deep: bool, num_limbs: int,
                      bits: 'typing.Optional[int]' = None):
     """Jitted chunk-vmapped phased probe — one compiled program per
@@ -1241,6 +1203,100 @@ def phased_batch_jit(deep: bool, num_limbs: int,
     return jax.jit(
         jax.vmap(f, in_axes=(0, 0, 0, 0, 0, None, None, None, None))
     )
+
+
+# ---------------------------------------------------------------------------
+# AOT executable cache for per-class probe programs.
+#
+# The phased probe runs one program per (class width, padded class size) —
+# a canonical shape ladder, NOT a function of the whole batch — so programs
+# compile once per geometry and serve every future batch (and, through the
+# persistent compilation cache, every future process).  Executables are
+# compiled from ShapeDtypeStructs alone, which makes two things possible:
+#
+# - warm-up with NO index built yet (DeviceIndex.plan gives the geometry
+#   from the container's host data), overlapping probe compilation with the
+#   derive load's device work;
+# - parallel compilation of cold classes (compiles through this
+#   environment's remote tunnel take tens of seconds EACH; threads overlap
+#   them).
+# ---------------------------------------------------------------------------
+
+_EXEC_CACHE: dict = {}
+_EXEC_LOCK = threading.Lock()
+
+
+def _class_exec_key(num_limbs, bits, deep, C, n_pad, table_len, Bk, width):
+    return (num_limbs, bits, deep, C, n_pad, table_len, Bk, width)
+
+
+def phased_class_exec(num_limbs: int, bits, deep: bool, C: int, n_pad: int,
+                      table_len: int, Bk: int, width: int):
+    """Compiled executable for one phase-class sub-probe shape (cached)."""
+    key = _class_exec_key(num_limbs, bits, deep, C, n_pad, table_len, Bk,
+                          width)
+    exe = _EXEC_CACHE.get(key)
+    if exe is not None:
+        return exe
+    s = jax.ShapeDtypeStruct
+    args = (
+        s((C, n_pad), jnp.uint8),          # text
+        s((C,), jnp.int32),                # n
+        s((C, n_pad), jnp.int32),          # sa
+        s((C, table_len), jnp.int32),      # table
+        s((C, n_pad * num_limbs), jnp.int32),  # limbs
+        s((256,), jnp.int32),              # rank
+        s((256,), jnp.int32),              # present
+        s((Bk, width), jnp.uint8),         # patterns
+        s((Bk,), jnp.int32),               # lengths
+    )
+    lowered = phased_batch_jit(deep, num_limbs, bits).lower(*args)
+    compiled = lowered.compile()
+    with _EXEC_LOCK:
+        _EXEC_CACHE.setdefault(key, compiled)
+    return _EXEC_CACHE[key]
+
+
+def warm_phased_classes(keys, parallel: bool = True) -> None:
+    """Compile the given class-shape keys (tuples as accepted by
+    :func:`phased_class_exec`), overlapping compilations in threads."""
+    cold = [k for k in keys
+            if _class_exec_key(*k) not in _EXEC_CACHE]
+    if not cold:
+        return
+    if parallel and len(cold) > 1:
+        with ThreadPoolExecutor(max_workers=min(8, len(cold))) as pool:
+            list(pool.map(lambda k: phased_class_exec(*k), cold))
+    else:
+        for k in cold:
+            phased_class_exec(*k)
+
+
+def class_spec(lengths: np.ndarray, depth: int, limb_bytes: int,
+               cover: int, num_limbs: int):
+    """Canonical per-class (Bk, width, deep) spec and member indices for a
+    batch's length distribution: class k = ceil((L - depth) / limb_bytes)
+    limb phases, one extra class for patterns past the packed coverage.
+    Class sizes pad to a coarse grid (pow2 up to 1024, then multiples of
+    1024): bounded program count, at most 2x lane waste."""
+    lengths = np.asarray(lengths)
+    classes = np.clip(
+        -(-(lengths - depth) // max(limb_bytes, 1)), 0, num_limbs
+    ).astype(np.int64)
+    classes = np.where(lengths > cover, num_limbs + 1, classes)
+    out = []
+    for k in np.unique(classes):
+        idx = np.flatnonzero(classes == k)
+        if int(k) <= num_limbs:
+            width = depth + limb_bytes * int(k) if k > 0 else depth
+        else:
+            width = -(-int(lengths[idx].max()) // 4) * 4
+        if idx.size <= 1024:
+            Bk = max(8, 1 << int(np.ceil(np.log2(idx.size))))
+        else:
+            Bk = -(-idx.size // 1024) * 1024
+        out.append((int(Bk), int(width), bool(width > cover), idx))
+    return out
 
 
 @functools.lru_cache(maxsize=None)

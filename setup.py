@@ -17,6 +17,7 @@ from setuptools.command.build_py import build_py
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 SRC = os.path.join(HERE, 'native', 'sais.cpp')
+FASTEXT_SRC = os.path.join(HERE, 'native', 'fastext.c')
 
 
 class BuildPyWithNative(build_py):
@@ -35,6 +36,10 @@ class BuildPyWithNative(build_py):
         except (OSError, subprocess.SubprocessError) as exc:
             print(f'warning: native kernel build skipped ({exc}); '
                   f'runtime will fall back to numpy/JAX backends')
+        # Ship the CPython materialization extension source alongside (the
+        # runtime loader compiles it against the interpreter in use; a
+        # pre-built .so would pin one CPython ABI).
+        self.copy_file(FASTEXT_SRC, os.path.join(dest_dir, 'fastext.c'))
 
 
 setup(cmdclass={'build_py': BuildPyWithNative})
