@@ -262,33 +262,41 @@ void sais_rec(SymT* st, i32* sa, i32 n, i32 K, i32* lms_buf, int level) {
 
   // Stage 2: name LMS substrings (equal substrings share a name); names are
   // parked at sa[m + pos/2], valid because LMS positions are >= 2 apart.
+  // Lengths first (distance to the next LMS inclusive; the last substring
+  // ends at the sentinel), then equality = equal length + memcmp over the
+  // RAW symbol words: the folded type bits compare too, which is sound —
+  // equal substrings ending at an LMS have identical internal types (each
+  // is derived right-to-left from byte comparisons within the substring
+  // seeded by the terminal S).  memcmp vectorizes where the per-symbol
+  // walk with LMS-boundary checks could not.
   std::fill(sa + m, sa + n, -1);
-  i32 name = 0, prev = -1;
   for (i32 i = 0; i < m; ++i) {
-    if (i + 8 < m) __builtin_prefetch(&st[sa[i + 8]]);
-    i32 pos = sa[i];
-    bool differs = prev < 0;
-    if (!differs) {
-      for (i32 d = 0;; ++d) {
-        bool lms_a = prev + d > 0 && (st[prev + d] & TBIT) &&
-                     !(st[prev + d - 1] & TBIT);
-        bool lms_b = pos + d > 0 && (st[pos + d] & TBIT) &&
-                     !(st[pos + d - 1] & TBIT);
-        if (d > 0 && (lms_a || lms_b)) {
-          differs = !(lms_a && lms_b);
-          break;
-        }
-        if ((st[prev + d] & SMASK) != (st[pos + d] & SMASK)) {
-          differs = true;
-          break;
-        }
+    i32 p = lms[i];
+    i32 len = (i + 1 < m ? lms[i + 1] - p : n - 1 - p) + 1;
+    sa[m + p / 2] = len;
+  }
+  i32 name = 0;
+  {
+    i32 prev = -1, prev_len = 0;
+    for (i32 i = 0; i < m; ++i) {
+      if (i + 8 < m) {
+        i32 pp = sa[i + 8];
+        __builtin_prefetch(&sa[m + pp / 2], 1);
+        __builtin_prefetch(&st[pp]);
       }
+      i32 pos = sa[i];
+      i32 len = sa[m + pos / 2];
+      bool differs =
+          prev < 0 || len != prev_len ||
+          std::memcmp(st + pos, st + prev,
+                      static_cast<size_t>(len) * sizeof(SymT)) != 0;
+      if (differs) {
+        ++name;
+        prev = pos;
+        prev_len = len;
+      }
+      sa[m + pos / 2] = name - 1;
     }
-    if (differs) {
-      ++name;
-      prev = pos;
-    }
-    sa[m + pos / 2] = name - 1;
   }
   if (sa_profile())
     fprintf(stderr, "[sa l%d] n=%d m=%d name=%d K=%d sym=%zub\n", level, n, m,

@@ -353,8 +353,19 @@ class Reader:
             ):
                 out[i] = lines
             return out
-        packed, lengths = search_ops.pack_patterns(patterns)
         idx = self._index
+        if native_available_for_probe():
+            # Tiny batches: the device probe's fixed dispatch+readback
+            # round trip can exceed the whole native host bisection (e.g.
+            # a remote-attach link's ~25 ms RTT vs ~17 us per query-chunk).
+            from .ops.suffix_array import device_rtt_estimate
+
+            host_est = (
+                len(patterns) * max(idx.num_source_chunks, 1) * 17e-6
+            )
+            if host_est < device_rtt_estimate():
+                return self._search_host(patterns)
+        packed, lengths = search_ops.pack_patterns(patterns)
         with self._prof.phase('probe'):
             lo, cnt = idx.probe(packed, lengths)
         with self._prof.phase('extract'):

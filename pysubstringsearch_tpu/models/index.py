@@ -52,6 +52,7 @@ class DeviceIndex:
         num_limbs: typing.Optional[int] = None,
         mode: str = 'auto',
         merge: typing.Optional[bool] = None,
+        sharding: typing.Optional[jax.sharding.NamedSharding] = None,
         _plan_only: bool = False,
     ) -> None:
         """``mode`` selects how the device-resident arrays come to exist:
@@ -83,6 +84,9 @@ class DeviceIndex:
         """
         self.num_source_chunks = len(chunks)
         self._batch_cache = None  # last grouped batch (see _group_batch)
+        #: Optional [C, ...]-row placement over a 1-D device mesh (the
+        #: parallel.ShardedReader path).  None = single default device.
+        self.sharding = sharding
         if mode == 'auto':
             mode = 'upload' if jax.default_backend() == 'cpu' else 'derive'
         if mode not in ('upload', 'derive'):
@@ -116,6 +120,12 @@ class DeviceIndex:
                 groups.append(cur)
         else:
             groups = [[i] for i in range(len(chunks))]
+        if sharding is not None and groups:
+            # Pad the row count to a mesh multiple; pad rows carry n = 0 and
+            # can never produce hits.
+            d = sharding.mesh.devices.size
+            while len(groups) % d:
+                groups.append([])
         #: groups[r] = container-chunk indices concatenated into probe row r.
         self.groups = groups
         self.merged = any(len(g) > 1 for g in groups)
@@ -124,7 +134,10 @@ class DeviceIndex:
         self.row_data: typing.List[np.ndarray] = []
         self.boundaries: typing.List[np.ndarray] = []
         for g in groups:
-            if len(g) == 1:
+            if len(g) == 0:  # mesh-padding row
+                self.row_data.append(np.zeros(0, dtype=np.uint8))
+                self.boundaries.append(np.zeros(0, dtype=np.int64))
+            elif len(g) == 1:
                 self.row_data.append(chunks[g[0]].data)
                 self.boundaries.append(np.zeros(0, dtype=np.int64))
             else:
@@ -173,16 +186,17 @@ class DeviceIndex:
                 (0, search_ops.BUCKET_TABLE_SIZE), jnp.int32
             )
             self.limbs = jnp.zeros((0, 8), jnp.int32)
+            self.h_pad = 0
             rank, pres_i = search_ops.identity_rank()
             self.rank = jnp.asarray(rank)
             self.present = jnp.asarray(pres_i)
             return
-        max_n = max(d.size for d in self.row_data)
+        max_n = max(max(d.size for d in self.row_data), 1)
         # Margin so suffix windows up to PAD_MARGIN bytes never clamp.
         n_pad = _pad_len(max_n + search_ops.PAD_MARGIN)
         self.n_pad = n_pad
         n = np.array([d.size for d in self.row_data], dtype=np.int32)
-        self.lengths = jnp.asarray(n)
+        self.lengths = self._put_rows(n)
         if self.kind in ('ranked', 'raw'):
             # Alphabet-ranked seed table: rank bytes through the union
             # alphabet of all chunks; a small alphabet buys a much deeper
@@ -197,11 +211,17 @@ class DeviceIndex:
             depth = 3 if max_n >= self.DEEP_TABLE_MIN_CHUNK else 2
         self._base, self._depth = base, depth
         self._rank_host = rank
-        self.rank = jnp.asarray(rank)
-        self.present = jnp.asarray(pres.astype(np.int32))
+        self.rank = self._put_repl(rank)
+        self.present = self._put_repl(pres.astype(np.int32))
         if num_limbs is None:
             num_limbs = self._auto_num_limbs(chunks)
         self.num_limbs = num_limbs
+        #: Hot-bucket aux geometry (0 = disabled; see ops/search.py).
+        self.h_pad = (
+            search_ops.aux_blocks_for(max_n)
+            if self.kind in ('ranked', 'raw') and search_ops.AUX_TH > 0
+            else 0
+        )
         if _plan_only:
             return
         if mode == 'derive':
@@ -217,6 +237,23 @@ class DeviceIndex:
         ladder (warm_probe / ops.search.warm_phased_classes) in parallel
         with, or before, the real index load."""
         return cls(chunks, _plan_only=True, **kwargs)
+
+    def _put_rows(self, arr: np.ndarray):
+        """Place a [C, ...] row-major host array (row-sharded if a mesh
+        sharding was given, default device otherwise)."""
+        if self.sharding is None:
+            return jnp.asarray(arr)
+        return jax.device_put(arr, self.sharding)
+
+    def _put_repl(self, arr: np.ndarray):
+        """Place a small replicated operand (rank/present/query arrays)."""
+        if self.sharding is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.device_put(
+            arr, NamedSharding(self.sharding.mesh, PartitionSpec())
+        )
 
     @property
     def cover_bytes(self) -> int:
@@ -269,9 +306,12 @@ class DeviceIndex:
         )
         if not self.row_data:
             return cap
-        max_n = max(d.size for d in self.row_data)
+        max_n = max(max(d.size for d in self.row_data), 1)
         n_pad = _pad_len(max_n + search_ops.PAD_MARGIN)
         C = len(self.row_data)
+        if self.sharding is not None:
+            # The budget meters EACH device's shard of the rows.
+            C = max(1, C // self.sharding.mesh.devices.size)
         table_bytes = 4 * (self._base ** self._depth + 1)
         base = C * (5 * n_pad + table_bytes)
         budget = self._device_hbm_budget()
@@ -287,15 +327,16 @@ class DeviceIndex:
         for i, c in enumerate(chunks):
             text[i, : c.data.size] = c.data
             sa[i, : c.suffix_array.size] = c.suffix_array
-        self.text = jnp.asarray(text)
-        self.sa = jnp.asarray(sa)
-        host_tables = np.stack([
-            search_ops.build_seed_table_host(
+        self.text = self._put_rows(text)
+        self.sa = self._put_rows(sa)
+        host_tables = np.zeros(
+            (self.num_chunks, self._base ** depth + 1), dtype=np.int32
+        )
+        for i, c in enumerate(chunks):
+            host_tables[i] = search_ops.build_seed_table_host(
                 c.data, c.suffix_array, self._rank_host, self._base, depth
             )
-            for c in chunks
-        ])
-        self.tables = jnp.asarray(host_tables)
+        self.tables = self._put_rows(host_tables)
         # Plane-major limb layout (limb j of slot i at j*n_pad + i) — see
         # ops/search.py:_limb_cmp3 for why slot-major is unusable on TPU.
         limbs = np.zeros(
@@ -316,10 +357,30 @@ class DeviceIndex:
                     c.data, c.suffix_array, self.num_limbs
                 )
             limbs[i] = search_ops.pad_limbs_host(k, n_pad)
-        self.limbs = jnp.asarray(limbs)
+        self.limbs = self._put_rows(limbs)
+        if self.h_pad > 0:
+            tlen = self._base ** depth + 1
+            hot = np.zeros((self.num_chunks, tlen - 1), dtype=np.int32)
+            aux = np.zeros(
+                (self.num_chunks, self.h_pad * (self._base + 1)),
+                dtype=np.int32,
+            )
+            for i, c in enumerate(chunks):
+                hot[i] = search_ops.build_hot_id_host(
+                    host_tables[i], search_ops.AUX_TH, self.h_pad
+                )
+                aux[i] = search_ops.build_aux_host(
+                    c.data, c.suffix_array, self._rank_host, host_tables[i],
+                    hot[i], self.h_pad, self._base, depth,
+                )
+            self.hot_id = self._put_rows(hot)
+            self.aux = self._put_rows(aux)
 
     def _init_derive(self, chunks, n_pad, depth):
         del chunks  # derive builds from self.row_data (merged rows)
+        if self.sharding is not None:
+            self._init_derive_sharded(n_pad, depth)
+            return
         # Two dispatches per chunk, not one fused program: SA-build scratch
         # and the [N, num_limbs] limb matrix must not be live simultaneously
         # (see derive_sa_jit docstring — fused exceeds HBM at reference
@@ -341,7 +402,10 @@ class DeviceIndex:
             row[: d.size] = d
             t = jnp.asarray(row)
             texts = set_row(texts, jnp.int32(i), t)
-            sa = derive_sa(t, jnp.int32(d.size))
+            sa, poisoned = derive_sa(t, jnp.int32(d.size))
+            if bool(poisoned):  # adversarial input: full-sort fallback
+                del sa
+                sa = search_ops.derive_sa_full_jit()(t, jnp.int32(d.size))
             sas = set_row(sas, jnp.int32(i), sa)
             del t, sa
         # Pass 2 — limb planes + seed tables, written straight into the
@@ -389,6 +453,104 @@ class DeviceIndex:
         self.sa = sas
         self.limbs = limbs
         self.tables = tables
+        if self.h_pad > 0:
+            set_row2 = search_ops.set_row_jit()
+            hot_aux = search_ops.derive_hot_aux_jit(
+                self._base, self._depth, search_ops.AUX_TH, self.h_pad
+            )
+            tlen = self._base ** self._depth + 1
+            hots = jnp.zeros((C, tlen - 1), jnp.int32)
+            auxs = jnp.zeros(
+                (C, self.h_pad * (self._base + 1)), jnp.int32
+            )
+            for i, d in enumerate(self.row_data):
+                h_i, a_i = hot_aux(
+                    texts[i], jnp.int32(d.size), sas[i], self.rank,
+                    tables[i],
+                )
+                hots = set_row2(hots, jnp.int32(i), h_i)
+                auxs = set_row2(auxs, jnp.int32(i), a_i)
+                del h_i, a_i
+            self.hot_id = hots
+            self.aux = auxs
+
+    def _init_derive_sharded(self, n_pad, depth):
+        """Derive with mesh placement: each row's SA/limbs/tables build on
+        the device that owns the row (independent per-device dispatches — no
+        collectives; the probe later runs as one sharded program), then the
+        per-device stacks assemble into global row-sharded arrays."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh = self.sharding.mesh
+        devs = list(mesh.devices.flat)
+        C = self.num_chunks
+        rpd = C // len(devs)
+        derive_sa = search_ops.derive_sa_jit()
+        aux_row = search_ops.derive_aux_row_jit(
+            self.kind, self.num_limbs, self._base, self._depth, self._bits
+        )
+        table_len = self._base ** self._depth + 1
+        t_shards, s_shards, l_shards, tb_shards = [], [], [], []
+        h_shards, a_shards = [], []
+        for k, dev in enumerate(devs):
+            rank_d = jax.device_put(self._rank_host, dev)
+            t_rows, s_rows, l_rows, tb_rows = [], [], [], []
+            h_rows, a_rows = [], []
+            for i in range(k * rpd, (k + 1) * rpd):
+                d = self.row_data[i]
+                row = np.zeros((n_pad,), dtype=np.uint8)
+                row[: d.size] = d
+                t = jax.device_put(row, dev)
+                if d.size == 0:  # mesh-padding row
+                    sa = jnp.zeros((n_pad,), jnp.int32, device=dev)
+                    lb = jnp.zeros((n_pad * self.num_limbs,), jnp.int32,
+                                   device=dev)
+                    tb = jnp.zeros((table_len,), jnp.int32, device=dev)
+                else:
+                    n_i = jnp.int32(d.size)
+                    sa, poisoned = derive_sa(t, n_i)
+                    if bool(poisoned):  # adversarial: full-sort fallback
+                        del sa
+                        sa = search_ops.derive_sa_full_jit()(t, n_i)
+                    lb, tb = aux_row(t, n_i, sa, rank_d)
+                if self.h_pad > 0:
+                    if d.size == 0:
+                        h_i = jnp.zeros((table_len - 1,), jnp.int32,
+                                        device=dev)
+                        a_i = jnp.zeros(
+                            (self.h_pad * (self._base + 1),), jnp.int32,
+                            device=dev,
+                        )
+                    else:
+                        h_i, a_i = search_ops.derive_hot_aux_jit(
+                            self._base, self._depth, search_ops.AUX_TH,
+                            self.h_pad,
+                        )(t, jnp.int32(d.size), sa, rank_d, tb)
+                    h_rows.append(h_i)
+                    a_rows.append(a_i)
+                t_rows.append(t)
+                s_rows.append(sa)
+                l_rows.append(lb)
+                tb_rows.append(tb)
+            t_shards.append(jnp.stack(t_rows))
+            s_shards.append(jnp.stack(s_rows))
+            l_shards.append(jnp.stack(l_rows))
+            tb_shards.append(jnp.stack(tb_rows))
+            if self.h_pad > 0:
+                h_shards.append(jnp.stack(h_rows))
+                a_shards.append(jnp.stack(a_rows))
+        mk = jax.make_array_from_single_device_arrays
+        self.text = mk((C, n_pad), self.sharding, t_shards)
+        self.sa = mk((C, n_pad), self.sharding, s_shards)
+        self.limbs = mk((C, n_pad * self.num_limbs), self.sharding, l_shards)
+        self.tables = mk((C, table_len), self.sharding, tb_shards)
+        if self.h_pad > 0:
+            self.hot_id = mk(
+                (C, table_len - 1), self.sharding, h_shards
+            )
+            self.aux = mk(
+                (C, self.h_pad * (self._base + 1)), self.sharding, a_shards
+            )
 
     def _group_batch(self, patterns: np.ndarray, lengths: np.ndarray):
         """(spec, flat device operands) for the grouped phased probe.
@@ -429,7 +591,9 @@ class DeviceIndex:
             )
             sub_len[: idx.size] = lengths[idx]
             spec.append((Bk, width, deep))
-            flat.append((idx, jnp.asarray(sub), jnp.asarray(sub_len)))
+            flat.append(
+                (idx, self._put_repl(sub), self._put_repl(sub_len))
+            )
         spec = tuple(spec)
         self._batch_cache = (patterns, lengths, spec, flat)
         return spec, flat
@@ -466,23 +630,41 @@ class DeviceIndex:
         patterns = np.asarray(patterns)
         lengths = np.asarray(lengths)
         spec, flat = self._group_batch(patterns, lengths)
+        if self.sharding is not None:
+            # Sharded operands: let jit propagate the mesh placement (AOT
+            # executables are lowered without shardings).
+            parts = []
+            for (Bk, width, deep), (idx, sub, sub_len) in zip(spec, flat):
+                probe = search_ops.phased_batch_jit(
+                    deep, self.num_limbs, self._bits, self.h_pad > 0
+                )
+                ops = (self.text, self.lengths, self.sa, self.tables,
+                       self.limbs)
+                if self.h_pad > 0:
+                    ops += (self.hot_id, self.aux)
+                lo_k, cnt_k = probe(
+                    *ops, self.rank, self.present, sub, sub_len
+                )
+                parts.append((idx, lo_k, cnt_k))
+            return parts
         # Compile any cold classes in parallel before dispatching (compiles
         # through a remote tunnel cost tens of seconds each, and the
         # persistent cache serves them to future processes).
         table_len = self._base ** self._depth + 1
         keys = [
             (self.num_limbs, self._bits, deep, self.num_chunks, self.n_pad,
-             table_len, Bk, width)
+             table_len, self.h_pad, Bk, width)
             for (Bk, width, deep) in spec
         ]
         search_ops.warm_phased_classes(keys)
         parts = []
         for key, (idx, sub, sub_len) in zip(keys, flat):
             exe = search_ops.phased_class_exec(*key)
-            lo_k, cnt_k = exe(
-                self.text, self.lengths, self.sa, self.tables, self.limbs,
-                self.rank, self.present, sub, sub_len,
-            )
+            ops = (self.text, self.lengths, self.sa, self.tables,
+                   self.limbs)
+            if self.h_pad > 0:
+                ops += (self.hot_id, self.aux)
+            lo_k, cnt_k = exe(*ops, self.rank, self.present, sub, sub_len)
             parts.append((idx, lo_k, cnt_k))
         return parts
 
@@ -495,7 +677,7 @@ class DeviceIndex:
         table_len = self._base ** self._depth + 1
         return [
             (self.num_limbs, self._bits, deep, self.num_chunks, self.n_pad,
-             table_len, Bk, width)
+             table_len, self.h_pad, Bk, width)
             for (Bk, width, deep, _) in search_ops.class_spec(
                 np.asarray(lengths), self._depth, self._limb_bytes,
                 self.cover_bytes, self.num_limbs,

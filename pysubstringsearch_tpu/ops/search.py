@@ -35,6 +35,7 @@ TPU-shaping decisions (measured on v5e):
 from __future__ import annotations
 
 import functools
+import os
 import threading
 from concurrent.futures import ThreadPoolExecutor
 
@@ -555,9 +556,14 @@ def build_bucket_table_device(text, n, sa, depth: int = 2):
 
 @functools.lru_cache(maxsize=None)
 def derive_sa_jit():
-    """Device program: text -> SA rolled to the front (real entries in slots
-    [0, n); the tail holds pad-suffix positions >= n which no probe range can
-    reach — bucket tables clamp to n).
+    """Device program: text -> (SA rolled to the front, poisoned flag).
+
+    Real SA entries land in slots [0, n); the tail holds pad-suffix
+    positions >= n which no probe range can reach (bucket tables clamp to
+    n).  The kernel is the rotating segmented doubler
+    (ops/suffix_array.py): its transients fit a 512 MiB row in 16 GB HBM,
+    at the price of a ``poisoned`` flag for adversarial inputs (oversized
+    tied groups) — when True the caller re-runs :func:`derive_sa_full_jit`.
 
     The load-path inversion for slow host<->device links (measured in this
     environment: H2D ~5-12 MB/s, D2H ~1-5 MB/s): instead of uploading
@@ -573,11 +579,29 @@ def derive_sa_jit():
     spare, and nothing extra crosses the link (all intermediates stay in
     HBM).
     """
-    from .suffix_array import _segmented_kernel
+    from .suffix_array import _segmented_rotating_kernel
 
     def f(text, n):
         N = text.shape[0]
-        sa_full = _segmented_kernel(text, jnp.asarray(n, jnp.int32))
+        sa_full, poisoned = _segmented_rotating_kernel(
+            text, jnp.asarray(n, jnp.int32)
+        )
+        return jnp.roll(sa_full, n - N), poisoned
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def derive_sa_full_jit():
+    """Full-sort fallback for poisoned rotating derives (adversarial
+    inputs): O(N) 3-array sorts per round — correct for anything, but its
+    transients need ~24 bytes/char of HBM, so callers should keep rows at
+    or below 256 MiB when inputs may be adversarial."""
+    from .suffix_array import _doubling_kernel
+
+    def f(text, n):
+        N = text.shape[0]
+        sa_full = _doubling_kernel(text, jnp.asarray(n, jnp.int32))
         return jnp.roll(sa_full, n - N)
 
     return jax.jit(f)
@@ -713,6 +737,30 @@ def build_raw_limbs_device(text, n, sa, num_limbs: int = RAW_LIMBS,
         # builder; probe ranges never reach them (tables clamp to n).
         cols.append(jnp.where(iota < n, jnp.take(lj, sa_c, axis=0), 0))
     return jnp.concatenate(cols)
+
+
+@functools.lru_cache(maxsize=None)
+def derive_aux_row_jit(kind: str, num_limbs: int, base: int, depth: int,
+                       bits):
+    """One row's full aux build (all limb planes + seed table) as a single
+    program — the sharded derive path's form, where each device holds few
+    rows and dispatches stay per-device (the stacked donated-buffer form in
+    models/index.py is for the single-device load, whose HBM transients are
+    the binding constraint)."""
+
+    def f(text, n, sa, rank):
+        if kind == 'ranked':
+            limbs = build_ranked_limbs_device(
+                text, n, sa, rank, num_limbs, depth, bits
+            )
+        elif kind == 'raw':
+            limbs = build_raw_limbs_device(text, n, sa, num_limbs, depth)
+        else:
+            limbs = build_limbs_device(text, n, sa, num_limbs)
+        table = build_seed_table_device(text, n, sa, rank, base, depth)
+        return limbs, table
+
+    return jax.jit(f)
 
 
 @functools.lru_cache(maxsize=None)
@@ -889,6 +937,133 @@ def _raw_targets(patterns, lengths, thresholds, num_limbs: int, depth: int):
 
 
 # ---------------------------------------------------------------------------
+# Hot-bucket aux tables — bounding the probe's worst-lane iteration count
+# ---------------------------------------------------------------------------
+#
+# The phased while_loop bills every lane for the SLOWEST lane, and a lane's
+# phase-1 iteration count is log2 of its seed bucket's width.  Natural-text
+# width distributions are heavily skewed (bench corpus at depth 5: median
+# 37, p99 3263, max 7241 — and 90% of POSITIONS, hence of randomly sampled
+# patterns, live in buckets wider than 64), so the max lane runs ~13
+# iterations while the median needs ~5.  The aux table resolves ONE extra
+# rank digit for every hot bucket: block[h][j] = first SA slot in hot
+# bucket h whose digit-at-depth is >= j, so a seeded range starts at
+# width/base instead of width — two extra gathers replace ~log2(base)
+# bisection iterations for exactly the lanes that set the while_loop's trip
+# count.
+#
+# Sizing is STATIC from geometry (so probe programs stay plannable before
+# any index exists): hot = the first AUX_BLOCKS buckets wider than
+# TPUSS_AUX_TH in bucket-id order; overflow buckets just keep their plain
+# table range (correctness never depends on aux coverage).
+
+#: Width threshold for aux acceleration (0 disables the aux tables).
+AUX_TH = int(os.environ.get('TPUSS_AUX_TH', '64'))
+
+
+def aux_blocks_for(max_n: int, th: int = None) -> int:
+    """Static aux block budget for a row of ``max_n`` chars (pow2, capped)."""
+    th = AUX_TH if th is None else th
+    if th <= 0:
+        return 0
+    want = max(8, max_n // (th * 4))
+    h = 8
+    while h < want and h < (1 << 20):
+        h *= 2
+    return h
+
+
+def build_hot_id_host(table: np.ndarray, th: int, h_pad: int) -> np.ndarray:
+    """int32 [table_len - 1]: aux block id per bucket (-1 = not hot)."""
+    w = table[1:].astype(np.int64) - table[:-1].astype(np.int64)
+    hot = w > th
+    ids = np.cumsum(hot) - 1
+    return np.where(hot & (ids < h_pad), ids, -1).astype(np.int32)
+
+
+def build_aux_host(
+    data: np.ndarray, sa: np.ndarray, rank: np.ndarray, table: np.ndarray,
+    hot_id: np.ndarray, h_pad: int, base: int, depth: int,
+) -> np.ndarray:
+    """int32 [h_pad * (base + 1)] flattened aux blocks (host twin)."""
+    n = data.size
+    out = np.zeros((h_pad, base + 1), dtype=np.int32)
+    if n == 0 or h_pad == 0:
+        return out.reshape(-1)
+    rk = rank.astype(np.int64)[data]
+    pv = np.zeros(n, dtype=np.int64)
+    for j in range(depth):
+        nxt = np.zeros(n, dtype=np.int64)
+        nxt[: n - j] = rk[j:]
+        pv = pv * base + nxt
+    d6 = np.zeros(n, dtype=np.int64)
+    d6[: max(n - depth, 0)] = rk[depth:]
+    sa64 = sa.astype(np.int64)
+    aid = hot_id[pv[sa64]]
+    d6s = d6[sa64]
+    valid = aid >= 0
+    key = aid[valid] * base + d6s[valid]
+    hist = np.bincount(key, minlength=h_pad * base).reshape(h_pad, base)
+    csum = np.cumsum(hist, axis=1)
+    excl = csum - hist
+    hot_start = np.zeros(h_pad, dtype=np.int64)
+    ks = np.flatnonzero(hot_id >= 0)
+    hot_start[hot_id[ks]] = table[:-1][ks]
+    out[:, :base] = (hot_start[:, None] + excl).astype(np.int32)
+    out[:, base] = (hot_start + csum[:, -1]).astype(np.int32)
+    return out.reshape(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def derive_hot_aux_jit(base: int, depth: int, th: int, h_pad: int):
+    """Device program: (text, n, sa, rank, table) -> (hot_id, aux) — the
+    device twin of build_hot_id_host + build_aux_host, sharing the seed
+    table's prefix-value stream construction."""
+
+    def f(text, n, sa, rank, table):
+        N = text.shape[0]
+        n_ = jnp.asarray(n, jnp.int32)
+        iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
+        dd = jnp.where(iota < n_, jnp.take(rank, text.astype(jnp.int32)), 0)
+        pv = jnp.zeros((N,), jnp.int32)
+        for j in range(depth):
+            pv = pv * base + jnp.where(iota + j < n_, jnp.roll(dd, -j), 0)
+        d6 = jnp.where(iota + depth < n_, jnp.roll(dd, -depth), 0)
+        w = table[1:] - table[:-1]
+        hot = w > th
+        ids = jnp.cumsum(hot.astype(jnp.int32)) - 1
+        hot_id = jnp.where(
+            jnp.logical_and(hot, ids < h_pad), ids, -1
+        ).astype(jnp.int32)
+        sa_c = jnp.clip(sa, 0, N - 1)
+        pv_sa = jnp.take(pv, sa_c)
+        d6_sa = jnp.take(d6, sa_c)
+        aid = jnp.take(hot_id, jnp.clip(pv_sa, 0, hot_id.shape[0] - 1))
+        valid = jnp.logical_and(iota < n_, aid >= 0)
+        key = jnp.where(valid, jnp.clip(aid, 0, h_pad - 1) * base + d6_sa,
+                        h_pad * base)
+        hist = (
+            jnp.zeros((h_pad * base + 1,), jnp.int32)
+            .at[key].add(1)[: h_pad * base]
+            .reshape(h_pad, base)
+        )
+        csum = jnp.cumsum(hist, axis=1)
+        excl = csum - hist
+        hot_start = (
+            jnp.zeros((h_pad + 1,), jnp.int32)
+            .at[jnp.where(hot_id >= 0, hot_id, h_pad)]
+            .set(table[:-1], mode='drop')[:h_pad]
+        )
+        aux = jnp.concatenate(
+            [hot_start[:, None] + excl, (hot_start + csum[:, -1])[:, None]],
+            axis=1,
+        )
+        return hot_id, aux.reshape(-1)
+
+    return jax.jit(f)
+
+
+# ---------------------------------------------------------------------------
 # Rank-packed limbs — small-alphabet corpora (the common case)
 # ---------------------------------------------------------------------------
 #
@@ -1060,7 +1235,9 @@ def _ranked_targets(patterns, lengths, thresholds, rank, present,
 def probe_bounds_phased(text, n, sa, table, limbs_flat, rank, present,
                         patterns, lengths, num_limbs: int = RAW_LIMBS,
                         deep: bool = False,
-                        bits: typing.Optional[int] = None):
+                        bits: typing.Optional[int] = None,
+                        count_iters: bool = False,
+                        hot_id=None, aux=None):
     """(lower, count) for a query batch via the phased packed-limb search.
 
     One int32 gather per lane per while-iteration; phases descend limb by
@@ -1103,6 +1280,25 @@ def probe_bounds_phased(text, n, sa, table, limbs_flat, rank, present,
     )
     lo0 = jnp.take(table, bucket + bump.astype(jnp.int32), axis=0)
     hi0 = jnp.take(table, bucket + 1, axis=0)
+    if hot_id is not None and patterns.shape[1] > depth:
+        # Hot-bucket aux: resolve one extra rank digit for wide buckets
+        # (see the section comment above).  Only pairs with limb phases
+        # (len > depth) consult it; their byte at index `depth` exists, and
+        # both duplex lanes share its rank digit, so the refined range
+        # [block[d6], block[d6+1]] contains both bounds (a bound can sit AT
+        # the block end — bisection over [blo, bhi) returns bhi exactly
+        # when no in-range slot satisfies the predicate).
+        d6 = jnp.take(rank, raw_both[:, depth].astype(jnp.int32))
+        aid = jnp.take(
+            hot_id, jnp.clip(bucket, 0, hot_id.shape[0] - 1), axis=0
+        )
+        bw = base + 1
+        slot = jnp.clip(aid, 0, (aux.shape[0] // bw) - 1) * bw + d6
+        blo = jnp.take(aux, slot, axis=0)
+        bhi = jnp.take(aux, slot + 1, axis=0)
+        use = jnp.logical_and(aid >= 0, both_len > depth)
+        lo0 = jnp.where(use, blo, lo0)
+        hi0 = jnp.where(use, bhi, hi0)
     Nk = limbs_flat.shape[0]
     Ns = Nk // max(num_limbs, 1)
     kcol = lax.broadcasted_iota(jnp.int32, (2 * B, num_limbs), 1)
@@ -1149,7 +1345,21 @@ def probe_bounds_phased(text, n, sa, table, limbs_flat, rank, present,
         hi = jnp.where(adv2, Z2, hi)
         return lo, hi, j, done
 
-    lo, hi, _, _ = lax.while_loop(cond, body, (lo0, hi0, j0, done0))
+    if count_iters:
+        # Diagnostic twin: same loop with an iteration counter (the
+        # while_loop bills every lane for the slowest lane, so this number
+        # IS the phase-probe's device cost driver; see benchmarks/).
+        def cond_c(state):
+            return cond(state[:4])
+
+        def body_c(state):
+            return body(state[:4]) + (state[4] + 1,)
+
+        lo, hi, _, _, iters1 = lax.while_loop(
+            cond_c, body_c, (lo0, hi0, j0, done0, jnp.int32(0))
+        )
+    else:
+        lo, hi, _, _ = lax.while_loop(cond, body, (lo0, hi0, j0, done0))
     if deep:
         # Patterns longer than the packed coverage: continue on raw text
         # within the key-resolved tie range.  Pairs already resolved start
@@ -1184,15 +1394,35 @@ def probe_bounds_phased(text, n, sa, table, limbs_flat, rank, present,
         # force the API-visible count to 0 (deep lanes self-correct, but the
         # packed-coverage lanes need this).
         count = jnp.where(bad_pair, 0, count)
+    if count_iters:
+        return lower, count, iters1
     return lower, count
 
 
 @functools.lru_cache(maxsize=None)
 def phased_batch_jit(deep: bool, num_limbs: int,
-                     bits: 'typing.Optional[int]' = None):
+                     bits: 'typing.Optional[int]' = None,
+                     has_aux: bool = False):
     """Jitted chunk-vmapped phased probe — one compiled program per
-    (deep?, num_limbs, bits, table shape), independent of corpus statistics.
-    rank/present are shared across chunks (union alphabet)."""
+    (deep?, num_limbs, bits, has_aux, operand shapes), independent of
+    corpus statistics.  rank/present are shared across chunks (union
+    alphabet); with ``has_aux`` the per-row hot-bucket tables ride after
+    the limbs."""
+
+    if has_aux:
+        def f(text, n, sa, table, limbs, hot_id, aux, rank, present,
+              patterns, lengths):
+            return probe_bounds_phased(
+                text, n, sa, table, limbs, rank, present, patterns,
+                lengths, num_limbs, deep, bits, hot_id=hot_id, aux=aux,
+            )
+
+        return jax.jit(
+            jax.vmap(
+                f,
+                in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, None),
+            )
+        )
 
     def f(text, n, sa, table, limbs, rank, present, patterns, lengths):
         return probe_bounds_phased(
@@ -1226,31 +1456,41 @@ _EXEC_CACHE: dict = {}
 _EXEC_LOCK = threading.Lock()
 
 
-def _class_exec_key(num_limbs, bits, deep, C, n_pad, table_len, Bk, width):
-    return (num_limbs, bits, deep, C, n_pad, table_len, Bk, width)
+def _class_exec_key(num_limbs, bits, deep, C, n_pad, table_len, h_pad, Bk,
+                    width):
+    return (num_limbs, bits, deep, C, n_pad, table_len, h_pad, Bk, width)
 
 
 def phased_class_exec(num_limbs: int, bits, deep: bool, C: int, n_pad: int,
-                      table_len: int, Bk: int, width: int):
-    """Compiled executable for one phase-class sub-probe shape (cached)."""
-    key = _class_exec_key(num_limbs, bits, deep, C, n_pad, table_len, Bk,
-                          width)
+                      table_len: int, h_pad: int, Bk: int, width: int):
+    """Compiled executable for one phase-class sub-probe shape (cached).
+    ``h_pad`` > 0 adds the hot-bucket aux operands (hot_id, aux blocks)."""
+    key = _class_exec_key(num_limbs, bits, deep, C, n_pad, table_len, h_pad,
+                          Bk, width)
     exe = _EXEC_CACHE.get(key)
     if exe is not None:
         return exe
     s = jax.ShapeDtypeStruct
+    base, _ = table_params(table_len)
     args = (
         s((C, n_pad), jnp.uint8),          # text
         s((C,), jnp.int32),                # n
         s((C, n_pad), jnp.int32),          # sa
         s((C, table_len), jnp.int32),      # table
         s((C, n_pad * num_limbs), jnp.int32),  # limbs
+    )
+    if h_pad > 0:
+        args += (
+            s((C, table_len - 1), jnp.int32),        # hot_id
+            s((C, h_pad * (base + 1)), jnp.int32),   # aux blocks
+        )
+    args += (
         s((256,), jnp.int32),              # rank
         s((256,), jnp.int32),              # present
         s((Bk, width), jnp.uint8),         # patterns
         s((Bk,), jnp.int32),               # lengths
     )
-    lowered = phased_batch_jit(deep, num_limbs, bits).lower(*args)
+    lowered = phased_batch_jit(deep, num_limbs, bits, h_pad > 0).lower(*args)
     compiled = lowered.compile()
     with _EXEC_LOCK:
         _EXEC_CACHE.setdefault(key, compiled)

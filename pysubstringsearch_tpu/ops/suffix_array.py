@@ -377,6 +377,151 @@ def _segmented_kernel(data_padded: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
 _segmented_whole_jit = jax.jit(_segmented_kernel, donate_argnums=(0,))
 
 
+# ---------------------------------------------------------------------------
+# Rotating segmented doubling — the big-row derive kernel
+# ---------------------------------------------------------------------------
+#
+# _segmented_kernel keeps a full-size 3-array sort as its overflow fallback
+# inside lax.cond.  TPU programs allocate their worst-case branch statically,
+# so at a 512 MiB row the mere PRESENCE of that branch (plus the 6-byte
+# init's 3-key full sort) exceeds 16 GB HBM.  This variant never sorts more
+# than S = N/4 elements at once:
+#
+# - init: 3-byte prefix ranks from ONE (key, index) pair sort (4 N-arrays
+#   peak instead of 6) for rows past 2^28; the 6-byte 3-key init below that.
+# - Each k-round sweeps the SLOT space in windows: a window selects every
+#   tied group whose START slot lies in [off, off + S/2) — whole groups
+#   only (a split group would collide in _relabel_and_scatter's rank
+#   arithmetic) — so a window holds at most S/2 + max-group <= S members,
+#   and ``off`` jumps straight to the next selectable group start (slot
+#   indices are stable across passes, so a sweep covers every group exactly
+#   once per round).
+#
+# Soundness requires every tied group to be refined at every round (a group
+# whose refinement is deferred would later be probed at an offset exceeding
+# its true shared-prefix length, and a group whose r2 lands inside an
+# unrefined neighbor could under-split and then mis-split later).  Groups
+# larger than S/2 cannot be processed windowed, so their PRESENCE at any
+# round poisons the lazy schedule: the kernel flags it and the python
+# caller re-runs the full-sort kernel, whose allocation then — and only
+# then — has to fit.  Natural text never trips this (group sizes are n-gram
+# frequencies, orders of magnitude below S/2 = N/8); one-symbol-run
+# adversarial inputs do.
+#
+# Within a sweep, earlier windows' refinements make some r2 values FINER
+# than k, which is harmless: with equal k-prefixes, ordering by the finer
+# rank of the k-offset tails is the true suffix order restricted to the
+# group — sorting by a refinement of the comparison key cannot contradict
+# the final order.
+
+def _init_round_anchored3(data_padded: jnp.ndarray, n: jnp.ndarray):
+    """3-byte initial sort in anchored form via ONE (key, index) pair sort;
+    returns (sa, rank, gs) with k covered = 3."""
+    N = data_padded.shape[0]
+    iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
+    d = jnp.where(iota < n, data_padded.astype(jnp.int32) + 1, 0)
+
+    def shifted(j):
+        return jnp.where(iota + j < n, jnp.roll(d, -j), 0)
+
+    key = (d * 257 + shifted(1)) * 257 + shifted(2)
+    k_s, idx_s = lax.sort((key, iota), num_keys=1, is_stable=False)
+    npad = N - n
+    sa = jnp.where(iota < npad, N - 1 - iota, idx_s)
+    changed = k_s != jnp.roll(k_s, 1)
+    changed = jnp.logical_or(changed, iota <= npad)
+    gs = lax.cummax(jnp.where(changed, iota, 0))
+    rank = jnp.zeros((N,), jnp.int32).at[sa].set(gs)
+    return sa, rank, gs
+
+
+def _segmented_rotating_kernel(data_padded: jnp.ndarray, n: jnp.ndarray):
+    """SA of ``data_padded[:n]`` as the tail of a length-N array (same
+    contract as ``_doubling_kernel``) plus a ``poisoned`` bool: True means
+    an oversized tied group was present at some round and the result is NOT
+    trustworthy — the caller must re-run a full-sort kernel."""
+    N = data_padded.shape[0]
+    S = max(N // _SEG_DIV, 8)
+    W = max(S // 2, 4)
+    if N <= (1 << 28):
+        # The 3-key 6-byte init fits comfortably below ~272 Mi rows and
+        # saves one doubling round on natural text.
+        sa0, rank0, gs0 = _init_round_anchored(data_padded, n)
+        k0 = 6
+    else:
+        sa0, rank0, gs0 = _init_round_anchored3(data_padded, n)
+        k0 = 3
+
+    def tied_of(gs):
+        return _tied_flags(gs)
+
+    def cond(state):
+        k, off, poisoned, sa, rank, gs = state
+        sweeping = jnp.logical_or(k < N, off > 0)
+        return jnp.logical_and(sweeping, jnp.any(tied_of(gs)))
+
+    def body(state):
+        k, off, poisoned, sa, rank, gs = state
+        iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
+        tied = tied_of(gs)
+        # Group sizes: distance from a group's start to the next start.
+        start_flag = jnp.logical_or(gs != jnp.roll(gs, 1), iota == 0)
+        starts_or_n = jnp.where(start_flag, iota, N)
+        next_start = jnp.roll(lax.cummin(starts_or_n, reverse=True), -1)
+        next_start = jnp.where(iota == N - 1, N, next_start)
+        gsize = jnp.take(next_start, gs, axis=0) - gs
+        eligible = jnp.logical_and(tied, gsize <= S // 2)
+        poisoned = jnp.logical_or(
+            poisoned, jnp.any(jnp.logical_and(tied, ~eligible))
+        )
+        sel = jnp.logical_and(
+            eligible, jnp.logical_and(gs >= off, gs < off + W)
+        )
+        scnt = jnp.cumsum(sel.astype(jnp.int32))
+        dest = jnp.where(sel, scnt - 1, S)
+        buf_slot = (
+            jnp.full((S + 1,), N, jnp.int32)
+            .at[jnp.minimum(dest, S)].set(iota)[:S]
+        )
+        valid = buf_slot < N
+        bidx = lax.broadcasted_iota(jnp.int32, (S,), 0)
+        safe = jnp.minimum(buf_slot, N - 1)
+        pos = jnp.where(valid, jnp.take(sa, safe, axis=0), N)
+        g = jnp.where(valid, jnp.take(gs, safe, axis=0), N + bidx)
+        r2 = jnp.where(
+            pos + k < N,
+            jnp.take(rank, jnp.clip(pos + k, 0, N - 1), axis=0),
+            -1,
+        )
+        sa, rank, gs = _relabel_and_scatter(g, r2, pos, sa, rank, gs)
+        # Jump to the next eligible group start at or past the window end
+        # (slot indices are stable, so the sweep covers each group once).
+        elig_starts = jnp.where(
+            jnp.logical_and(start_flag, eligible), iota, N
+        )
+        rc = lax.cummin(elig_starts, reverse=True)
+        nxt = lax.dynamic_slice(
+            rc, (jnp.minimum(off + W, N - 1),), (1,)
+        )[0]
+        nxt = jnp.where(off + W >= N, N, nxt)
+        done_k = nxt >= N
+        k = jnp.where(done_k, k * 2, k)
+        off = jnp.where(done_k, 0, nxt)
+        return k, off, poisoned, sa, rank, gs
+
+    k, off, poisoned, sa, rank, gs = lax.while_loop(
+        cond,
+        body,
+        (jnp.int32(k0), jnp.int32(0), jnp.bool_(False), sa0, rank0, gs0),
+    )
+    return sa, jnp.logical_or(poisoned, jnp.any(tied_of(gs)))
+
+
+_segmented_rotating_jit = jax.jit(
+    _segmented_rotating_kernel, donate_argnums=(0,)
+)
+
+
 def _int_doubling_kernel(vals_padded: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     """Doubling kernel over pre-offset int32 ranks (real = value+1, pad 0).
 
@@ -511,6 +656,18 @@ def host_device_link_mbps() -> typing.Tuple[float, float]:
 #: Override per deployment via env when the defaults misjudge the hardware.
 _DEVICE_BUILD_MBPS = float(os.environ.get('TPUSS_DEVICE_BUILD_MBPS', '25.0'))
 _NATIVE_BUILD_MBPS = float(os.environ.get('TPUSS_NATIVE_BUILD_MBPS', '8.0'))
+
+
+def device_rtt_estimate() -> float:
+    """Rough dispatch+readback round-trip seconds for a tiny result — the
+    fixed cost every device probe pays, used to route tiny batches to the
+    host bisection instead.  CPU backends report 0 (the 'device' is host
+    memory, and tests should keep exercising the device path)."""
+    if jax.default_backend() == 'cpu':
+        return 0.0
+    if 'axon' in os.environ.get('JAX_PLATFORMS', ''):
+        return float(os.environ.get('TPUSS_DEVICE_RTT', '0.025'))
+    return float(os.environ.get('TPUSS_DEVICE_RTT', '0.001'))
 
 
 def _device_build_worthwhile(n: int) -> bool:

@@ -55,3 +55,40 @@ def test_chunk_padding_to_mesh_multiple(index_path):
     sharded = ShardedReader(path)
     assert sharded._C % sharded.mesh.devices.size == 0
     assert sharded._C >= sharded._num_real
+
+
+def test_sharded_derive_parity(index_path):
+    """Derive mode over the mesh: each row's SA/limbs/tables build on its
+    owning device; results match the plain Reader (the VERDICT r2 gap —
+    the sharded slow-link load path)."""
+    path, entries = index_path
+    if len(jax.devices()) < 2:
+        pytest.skip('needs multi-device backend')
+    plain = pss.Reader(path)
+    sharded = ShardedReader(path, index_mode='derive')
+    assert sharded._index.mode == 'derive'
+    assert sharded._C % sharded.mesh.devices.size == 0
+    for pat in ['entry', 'number 7 ', 'alpha', 'omega', 'missing', '']:
+        a = plain.search(pat)
+        b = sharded.search(pat)
+        assert collections.Counter(a) == collections.Counter(b), pat
+
+
+def test_sharded_derive_merged_parity(index_path):
+    """Merged rows + mesh placement compose: container chunks concatenate
+    into rows, rows shard across devices."""
+    path, entries = index_path
+    if len(jax.devices()) < 2:
+        pytest.skip('needs multi-device backend')
+    import os
+    os.environ['TPUSS_MERGE_CAP'] = '512'
+    try:
+        plain = pss.Reader(path)
+        sharded = ShardedReader(path, index_mode='derive')
+        assert sharded._index.merged
+        for pat in ['entry', 'alpha', 'omega', 'missing', 'the corpus']:
+            a = plain.search(pat)
+            b = sharded.search(pat)
+            assert collections.Counter(a) == collections.Counter(b), pat
+    finally:
+        del os.environ['TPUSS_MERGE_CAP']

@@ -99,3 +99,51 @@ def test_repetitive_data_deep_recursion():
     np.testing.assert_array_equal(suffix_array_jax(data), ref)
     if native.available():
         np.testing.assert_array_equal(native.suffix_array_native(data), ref)
+
+
+def test_rotating_segmented_kernel_matches_oracle():
+    """The rotating windowed doubler (big-row derive kernel) matches the
+    numpy oracle, including inputs that poison its lazy schedule."""
+    import jax.numpy as jnp
+    from pysubstringsearch_tpu.ops.suffix_array import (
+        _pad_len, _segmented_rotating_kernel,
+    )
+
+    rng = np.random.default_rng(5)
+    cases = [rng.integers(0, s, size=int(n)).astype(np.uint8)
+             for n, s in ((1, 2), (7, 3), (100, 4), (1000, 26),
+                          (5000, 2), (20000, 256), (65536, 27))]
+    cases.append(np.frombuffer(b'a' * 3000, np.uint8))          # one group
+    cases.append(np.frombuffer(b'ab' * 2000 + b'b', np.uint8))  # two symbols
+    for data in cases:
+        n = data.size
+        N = _pad_len(n)
+        padded = np.zeros(N, dtype=np.uint8)
+        padded[:n] = data
+        sa_full, poisoned = _segmented_rotating_kernel(
+            jnp.asarray(padded), jnp.int32(n)
+        )
+        want = suffix_array_numpy(data)
+        if bool(poisoned):
+            continue  # caller falls back; covered by the Reader-level test
+        got = np.asarray(sa_full)[N - n:]
+        assert np.array_equal(got, want), (n, data[:16])
+
+
+def test_rotating_kernel_poison_fallback_end_to_end():
+    """An adversarial chunk (one repeated byte) must still produce correct
+    results through the derive path (full-sort fallback engages)."""
+    import jax.numpy as jnp
+    from pysubstringsearch_tpu.container import Chunk
+    from pysubstringsearch_tpu.models.index import DeviceIndex
+    from pysubstringsearch_tpu.ops.search import pack_patterns
+
+    data = np.frombuffer(b'aaaaaaab' * 400 + b'\n', np.uint8)
+    chunks = [Chunk(data=data, suffix_array=suffix_array_numpy(data))]
+    idx = DeviceIndex(chunks, mode='derive')
+    up = DeviceIndex(chunks, mode='upload')
+    packed, lengths = pack_patterns([b'aaa', b'ab', b'b', b'aaaaaaaa'])
+    lo_d, cnt_d = idx.probe(packed, lengths)
+    lo_u, cnt_u = up.probe(packed, lengths)
+    assert np.array_equal(cnt_d, cnt_u)
+    assert np.array_equal(lo_d, lo_u)
