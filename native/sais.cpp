@@ -260,19 +260,20 @@ void sais_rec(SymT* st, i32* sa, i32 n, i32 K, i32* lms_buf, int level) {
     if (p > 0 && (st[p] & TBIT) && !(st[p - 1] & TBIT)) sa[q++] = p;
   }
 
-  // Stage 2: name LMS substrings (equal substrings share a name); names are
-  // parked at sa[m + pos/2], valid because LMS positions are >= 2 apart.
-  // Lengths first (distance to the next LMS inclusive; the last substring
-  // ends at the sentinel), then equality = equal length + memcmp over the
-  // RAW symbol words: the folded type bits compare too, which is sound —
-  // equal substrings ending at an LMS have identical internal types (each
-  // is derived right-to-left from byte comparisons within the substring
-  // seeded by the terminal S).  memcmp vectorizes where the per-symbol
-  // walk with LMS-boundary checks could not.
+  // Stage 2: name LMS substrings (equal substrings share a name); names
+  // are parked at sa[m + pos/2], valid because LMS positions are >= 2
+  // apart.  Lengths EXCLUDE the terminal LMS symbol (it heads the next
+  // substring and is covered by the next name — see the byte-level naming
+  // for the full argument); equality = equal length + memcmp over the RAW
+  // symbol words.  Comparing the folded type bits too is sound: equal
+  // substrings terminated at an LMS have identical internal types (the
+  // type recurrence runs right-to-left inside the compared span seeded by
+  // the boundary's L-before-S shape).  memcmp vectorizes where the
+  // per-symbol walk with LMS-boundary checks could not.
   std::fill(sa + m, sa + n, -1);
   for (i32 i = 0; i < m; ++i) {
     i32 p = lms[i];
-    i32 len = (i + 1 < m ? lms[i + 1] - p : n - 1 - p) + 1;
+    i32 len = (i + 1 < m ? lms[i + 1] : n) - p;
     sa[m + p / 2] = len;
   }
   i32 name = 0;
@@ -518,17 +519,21 @@ void sais_u8(const uint8_t* data, i32* sa, i32 n) {
   }
   // q == m by construction.
 
-  // Stage 2: name LMS substrings.  Substring of p spans to the NEXT LMS
-  // inclusive; the text-final LMS extends past n-1 by the virtual sentinel
-  // (length n-p+1, compared unequal to any in-text substring by the bounds
-  // guard).  Lengths are parked at sa[m + p/2] (LMS positions are >= 2
-  // apart), then overwritten by names.
+  // Stage 2: name LMS substrings.  Equality compares up to but EXCLUDING
+  // the terminal LMS symbol: that symbol heads the NEXT LMS substring, so
+  // the next name in the reduced sequence covers it — merging here shrinks
+  // the reduced alphabet ~4x on natural text (and the text-final
+  // substring, whose reduced suffix is a proper prefix of any same-named
+  // interior one's, sorts first under the prefix-first convention exactly
+  // as the virtual sentinel dictates).  Lengths are parked at sa[m + p/2]
+  // (LMS positions are >= 2 apart), then overwritten by names; equal
+  // length + memcmp replaces the per-byte walk.
   {
     SaPhase ph("parklen", 0);
     std::fill(sa + m, sa + n, -1);
     for (i32 i = 0; i < m; ++i) {
       i32 p = lms[i];
-      i32 len = (i + 1 < m ? lms[i + 1] - p : n - p) + 1;
+      i32 len = (i + 1 < m ? lms[i + 1] : n) - p;
       sa[m + p / 2] = len;
     }
   }
@@ -545,7 +550,7 @@ void sais_u8(const uint8_t* data, i32* sa, i32 n) {
       i32 pos = sa[i];
       i32 len = sa[m + pos / 2];
       bool differs =
-          prev < 0 || len != prev_len || pos + len > n || prev + len > n ||
+          prev < 0 || len != prev_len ||
           std::memcmp(data + pos, data + prev, static_cast<size_t>(len)) != 0;
       if (differs) {
         ++name;

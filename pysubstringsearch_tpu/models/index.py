@@ -414,15 +414,16 @@ class DeviceIndex:
         limbs = jnp.zeros((C, n_pad * self.num_limbs), jnp.int32)
         tables = jnp.zeros((C, self._base ** self._depth + 1), jnp.int32)
         if self.kind in ('ranked', 'raw'):
+            # Pack each chunk's digit stream once (small-transient program),
+            # then every plane is ONE dynamic-offset gather from it — a
+            # single compiled program regardless of plane count.
             if self.kind == 'ranked':
-                # Pack each chunk's rank-digit stream once (doubling-ladder
-                # program, small transient), then each plane is one offset
-                # gather from it.
                 pack = search_ops.ranked_pack_jit(self._bits)
                 plane_into = search_ops.derive_limb_ranked_jit(
                     depth, self._bits
                 )
             else:
+                pack = search_ops.raw_pack_jit(depth)
                 plane_into = search_ops.derive_limb_raw_jit(depth)
             table_into = search_ops.derive_table_raw_jit(self._base, depth)
             for i, d in enumerate(self.row_data):
@@ -430,11 +431,11 @@ class DeviceIndex:
                 t_i, sa_i = texts[i], sas[i]
                 src = (
                     pack(t_i, n_i, self.rank)
-                    if self.kind == 'ranked' else t_i
+                    if self.kind == 'ranked' else pack(t_i, n_i)
                 )
                 for j in range(self.num_limbs):
                     limbs = plane_into(
-                        limbs, jnp.int32(i), j, src, n_i, sa_i
+                        limbs, jnp.int32(i), jnp.int32(j), src, n_i, sa_i
                     )
                 tables = table_into(
                     tables, jnp.int32(i), t_i, n_i, sa_i, self.rank

@@ -764,17 +764,15 @@ def derive_aux_row_jit(kind: str, num_limbs: int, base: int, depth: int,
 
 
 @functools.lru_cache(maxsize=None)
-def derive_limb_raw_jit(depth: int):
-    """One raw limb plane, written straight into the stacked limb buffer.
+def raw_pack_jit(depth: int):
+    """[N] int32: position p's next 4 raw bytes packed big-endian with the
+    top byte biased by -128 (the raw limb encoding) — packed ONCE per
+    chunk; every limb plane is then a single dynamic-offset gather
+    (:func:`derive_limb_raw_jit`), so the per-plane program count stays 1
+    regardless of plane index (cold compiles through this environment's
+    tunnel cost minutes EACH)."""
 
-    ``(buf [C, K*N], i, j, text [N], n, sa [N]) -> buf`` with plane j of
-    chunk i filled; ``buf`` is DONATED.  The per-plane split (vs one program
-    materializing all K planes + a concat + a row copy) keeps the aux
-    build's HBM transient to one plane's scratch — the all-at-once form
-    exceeded 16 GB at 2 x 256 MiB chunks (FAILED_PRECONDITION surfaced at
-    the first readback)."""
-
-    def f(buf, i, j, text, n, sa):
+    def f(text, n):
         N = text.shape[0]
         n = jnp.asarray(n, jnp.int32)
         iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
@@ -783,19 +781,37 @@ def derive_limb_raw_jit(depth: int):
         def shifted(o):
             return jnp.where(iota + o < n, jnp.roll(b, -o), 0)
 
-        o = depth + 4 * j
-        lj = (
-            (shifted(o) - 128) * 16777216
-            + shifted(o + 1) * 65536
-            + shifted(o + 2) * 256
-            + shifted(o + 3)
+        return (
+            (b - 128) * 16777216
+            + shifted(1) * 65536
+            + shifted(2) * 256
+            + shifted(3)
         )
-        col = jnp.where(iota < n, jnp.take(lj, jnp.clip(sa, 0, N - 1)), 0)
-        return lax.dynamic_update_slice(buf, col[None], (i, j * N))
 
-    # j is static: the shift offsets feeding the roll must be trace-time
-    # constants for XLA to fuse the byte packing.
-    return jax.jit(f, static_argnums=(2,), donate_argnums=(0,))
+    del depth  # packing is offset-free; depth applies at gather time
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def derive_limb_raw_jit(depth: int):
+    """One raw limb plane — a dynamic-offset gather from the packed raw
+    stream (:func:`raw_pack_jit`) — written straight into the stacked limb
+    buffer.  ``(buf [C, K*N], i, j, packed [N], n, sa [N]) -> buf`` with
+    plane j of chunk i filled; ``buf`` is DONATED; ``j`` is a TRACED
+    operand, so all planes share one compiled program."""
+
+    def f(buf, i, j, packed, n, sa):
+        N = packed.shape[0]
+        n = jnp.asarray(n, jnp.int32)
+        iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
+        o = depth + 4 * j
+        idx = jnp.clip(jnp.clip(sa, 0, N - 1) + o, 0, N - 1)
+        col = jnp.where(iota < n, jnp.take(packed, idx), 0)
+        return lax.dynamic_update_slice(
+            buf, col[None], (i, j * N)
+        )
+
+    return jax.jit(f, donate_argnums=(0,))
 
 
 @functools.lru_cache(maxsize=None)
@@ -1183,14 +1199,15 @@ def derive_limb_ranked_jit(depth: int, bits: int):
     """Ranked twin of :func:`derive_limb_raw_jit`: one rank-packed limb
     plane — a single offset gather from the chunk's packed digit stream
     (:func:`ranked_pack_jit`) — written straight into the DONATED stacked
-    limb buffer."""
+    limb buffer.  ``j`` is a TRACED operand: one program serves every
+    plane."""
 
     def f(buf, i, j, packed, n, sa):
         N = packed.shape[0]
         col = _ranked_limb_col_from_pack(packed, n, sa, j, depth, bits)
         return lax.dynamic_update_slice(buf, col[None], (i, j * N))
 
-    return jax.jit(f, static_argnums=(2,), donate_argnums=(0,))
+    return jax.jit(f, donate_argnums=(0,))
 
 
 def _ranked_targets(patterns, lengths, thresholds, rank, present,
