@@ -77,7 +77,7 @@ def main():
     log(f'text gen {time.time()-t0:.1f}s')
 
     t0 = time.time()
-    sa, _poisoned = S.derive_sa_jit()(text, jnp.int32(n))
+    sa, _poisoned = S.derive_sa(text, jnp.int32(n))
     sa.block_until_ready()
     log(f'derive sa {time.time()-t0:.1f}s')
 

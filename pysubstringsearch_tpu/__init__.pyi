@@ -42,6 +42,8 @@ class Reader:
     def __init__(
         self,
         index_file_path: str,
+        *,
+        index_mode: str = ...,
     ) -> None: ...
 
     def search(

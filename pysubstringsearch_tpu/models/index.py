@@ -389,7 +389,7 @@ class DeviceIndex:
         # transiently double the largest array — measured OOM at 2x256 MiB
         # chunks), and the limb planes are not allocated until every chunk's
         # SA-build scratch (the other big transient) has been and gone.
-        derive_sa = search_ops.derive_sa_jit()
+        derive_sa = search_ops.derive_sa
         set_row = search_ops.set_row_jit()
         C = self.num_chunks
         # Pass 1 — text upload + device SA per row (a row is the merged
@@ -486,7 +486,7 @@ class DeviceIndex:
         devs = list(mesh.devices.flat)
         C = self.num_chunks
         rpd = C // len(devs)
-        derive_sa = search_ops.derive_sa_jit()
+        derive_sa = search_ops.derive_sa
         aux_row = search_ops.derive_aux_row_jit(
             self.kind, self.num_limbs, self._base, self._depth, self._bits
         )

@@ -554,41 +554,49 @@ def build_bucket_table_device(text, n, sa, depth: int = 2):
     return jnp.minimum(table, n)
 
 
-@functools.lru_cache(maxsize=None)
-def derive_sa_jit():
-    """Device program: text -> (SA rolled to the front, poisoned flag).
+def derive_sa(text, n):
+    """text row -> (SA rolled to the front, poisoned host bool).
 
     Real SA entries land in slots [0, n); the tail holds pad-suffix
     positions >= n which no probe range can reach (bucket tables clamp to
-    n).  The kernel is the rotating segmented doubler
-    (ops/suffix_array.py): its transients fit a 512 MiB row in 16 GB HBM,
-    at the price of a ``poisoned`` flag for adversarial inputs (oversized
-    tied groups) — when True the caller re-runs :func:`derive_sa_full_jit`.
+    n).  Two kernels by row size:
 
-    The load-path inversion for slow host<->device links (measured in this
-    environment: H2D ~5-12 MB/s, D2H ~1-5 MB/s): instead of uploading
-    SA (4 bytes/char) + limbs (4*num_limbs bytes/char) + tables, upload the
-    text alone (1 byte/char) and derive everything in HBM.  The SA of a
-    string is unique, so the derived SA is byte-identical to the container's.
-
-    SA construction and the aux-structure build (:func:`derive_aux_jit`) are
-    deliberately SEPARATE dispatches: fused into one program, the doubling
-    loop's scratch (3 N-int32 carries + sort buffers) and the [N, num_limbs]
-    limb matrix are live together, which exceeds 16 GB HBM at the 512 MiB
-    reference chunk size.  Split, each program's peak fits with room to
-    spare, and nothing extra crosses the link (all intermediates stay in
-    HBM).
+    - up to 384 Mi padded: the segmented tie-only doubler
+      (ops/suffix_array.py:_segmented_kernel) as ONE dispatch — the
+      round-2-proven shape for reference-scale rows (its full-sort
+      fallback branch reserves ~24 bytes/char, which fits here).
+    - larger rows: the rotating windowed doubler
+      (segmented_rotating_sa), python-driven in bounded dispatches, whose
+      transients stay within HBM at 512 MiB rows; adversarial inputs set
+      ``poisoned`` and the caller re-runs :func:`derive_sa_full_jit`.
     """
-    from .suffix_array import _segmented_rotating_kernel
+    N = text.shape[0]
+    if N <= (3 << 27):
+        return _derive_sa_seg_jit()(text, jnp.asarray(n, jnp.int32)), False
+    from .suffix_array import segmented_rotating_sa
+
+    sa_full, poisoned = segmented_rotating_sa(text, n)
+    return _roll_front_jit()(sa_full, jnp.asarray(n, jnp.int32)), poisoned
+
+
+@functools.lru_cache(maxsize=None)
+def _derive_sa_seg_jit():
+    from .suffix_array import _segmented_kernel
 
     def f(text, n):
         N = text.shape[0]
-        sa_full, poisoned = _segmented_rotating_kernel(
-            text, jnp.asarray(n, jnp.int32)
-        )
-        return jnp.roll(sa_full, n - N), poisoned
+        return jnp.roll(_segmented_kernel(text, n), n - N)
 
     return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _roll_front_jit():
+    def f(sa_full, n):
+        N = sa_full.shape[0]
+        return jnp.roll(sa_full, n - N)
+
+    return jax.jit(f, donate_argnums=(0,))
 
 
 @functools.lru_cache(maxsize=None)

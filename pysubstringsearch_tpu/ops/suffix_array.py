@@ -28,6 +28,7 @@ past-the-end as ``0``.
 
 from __future__ import annotations
 
+import functools
 import os
 import typing
 
@@ -435,91 +436,130 @@ def _init_round_anchored3(data_padded: jnp.ndarray, n: jnp.ndarray):
     return sa, rank, gs
 
 
-def _segmented_rotating_kernel(data_padded: jnp.ndarray, n: jnp.ndarray):
-    """SA of ``data_padded[:n]`` as the tail of a length-N array (same
-    contract as ``_doubling_kernel``) plus a ``poisoned`` bool: True means
-    an oversized tied group was present at some round and the result is NOT
-    trustworthy — the caller must re-run a full-sort kernel."""
+def _rotating_init(data_padded: jnp.ndarray, n: jnp.ndarray):
+    """Initial anchored state (k0, off, poisoned, sa, rank, gs)."""
     N = data_padded.shape[0]
-    S = max(N // _SEG_DIV, 8)
-    W = max(S // 2, 4)
     if N <= (1 << 28):
-        # The 3-key 6-byte init fits comfortably below ~272 Mi rows and
-        # saves one doubling round on natural text.
         sa0, rank0, gs0 = _init_round_anchored(data_padded, n)
         k0 = 6
     else:
         sa0, rank0, gs0 = _init_round_anchored3(data_padded, n)
         k0 = 3
+    return (jnp.int32(k0), jnp.int32(0), jnp.bool_(False), sa0, rank0, gs0)
 
-    def tied_of(gs):
-        return _tied_flags(gs)
 
-    def cond(state):
-        k, off, poisoned, sa, rank, gs = state
-        sweeping = jnp.logical_or(k < N, off > 0)
-        return jnp.logical_and(sweeping, jnp.any(tied_of(gs)))
+def _rotating_pass(state, N: int, S: int, W: int):
+    """One windowed refinement pass (see the section comment above).
 
-    def body(state):
-        k, off, poisoned, sa, rank, gs = state
-        iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
-        tied = tied_of(gs)
-        # Group sizes: distance from a group's start to the next start.
-        start_flag = jnp.logical_or(gs != jnp.roll(gs, 1), iota == 0)
-        starts_or_n = jnp.where(start_flag, iota, N)
-        next_start = jnp.roll(lax.cummin(starts_or_n, reverse=True), -1)
-        next_start = jnp.where(iota == N - 1, N, next_start)
-        gsize = jnp.take(next_start, gs, axis=0) - gs
-        eligible = jnp.logical_and(tied, gsize <= S // 2)
-        poisoned = jnp.logical_or(
-            poisoned, jnp.any(jnp.logical_and(tied, ~eligible))
-        )
-        sel = jnp.logical_and(
-            eligible, jnp.logical_and(gs >= off, gs < off + W)
-        )
-        scnt = jnp.cumsum(sel.astype(jnp.int32))
-        dest = jnp.where(sel, scnt - 1, S)
-        buf_slot = (
-            jnp.full((S + 1,), N, jnp.int32)
-            .at[jnp.minimum(dest, S)].set(iota)[:S]
-        )
-        valid = buf_slot < N
-        bidx = lax.broadcasted_iota(jnp.int32, (S,), 0)
-        safe = jnp.minimum(buf_slot, N - 1)
-        pos = jnp.where(valid, jnp.take(sa, safe, axis=0), N)
-        g = jnp.where(valid, jnp.take(gs, safe, axis=0), N + bidx)
-        r2 = jnp.where(
-            pos + k < N,
-            jnp.take(rank, jnp.clip(pos + k, 0, N - 1), axis=0),
-            -1,
-        )
-        sa, rank, gs = _relabel_and_scatter(g, r2, pos, sa, rank, gs)
-        # Jump to the next eligible group start at or past the window end
-        # (slot indices are stable, so the sweep covers each group once).
-        elig_starts = jnp.where(
-            jnp.logical_and(start_flag, eligible), iota, N
-        )
-        rc = lax.cummin(elig_starts, reverse=True)
-        nxt = lax.dynamic_slice(
-            rc, (jnp.minimum(off + W, N - 1),), (1,)
-        )[0]
-        nxt = jnp.where(off + W >= N, N, nxt)
-        done_k = nxt >= N
-        k = jnp.where(done_k, k * 2, k)
-        off = jnp.where(done_k, 0, nxt)
-        return k, off, poisoned, sa, rank, gs
-
-    k, off, poisoned, sa, rank, gs = lax.while_loop(
-        cond,
-        body,
-        (jnp.int32(k0), jnp.int32(0), jnp.bool_(False), sa0, rank0, gs0),
+    Kept deliberately lean — per pass: one cumsum (buffer destinations),
+    one reverse cummin (the jump to the next tied group start), and the
+    S-element gather/sort/scatter.  Oversized groups are DETECTED by member
+    offset (iota - gs >= S/2) rather than measured: a window may then
+    partially select one — which corrupts the refinement — but the poison
+    flag makes the caller discard the whole result and fall back, so the
+    cheap detection is safe.
+    """
+    k, off, poisoned, sa, rank, gs = state
+    iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
+    tied = _tied_flags(gs)
+    member_off = iota - gs
+    poisoned = jnp.logical_or(
+        poisoned, jnp.any(jnp.logical_and(tied, member_off >= S // 2))
     )
-    return sa, jnp.logical_or(poisoned, jnp.any(tied_of(gs)))
+    sel = jnp.logical_and(
+        tied, jnp.logical_and(gs >= off, gs < off + W)
+    )
+    sel = jnp.logical_and(sel, member_off < S // 2)
+    scnt = jnp.cumsum(sel.astype(jnp.int32))
+    dest = jnp.where(sel, scnt - 1, S)
+    buf_slot = (
+        jnp.full((S + 1,), N, jnp.int32)
+        .at[jnp.minimum(dest, S)].set(iota)[:S]
+    )
+    valid = buf_slot < N
+    bidx = lax.broadcasted_iota(jnp.int32, (S,), 0)
+    safe = jnp.minimum(buf_slot, N - 1)
+    pos = jnp.where(valid, jnp.take(sa, safe, axis=0), N)
+    g = jnp.where(valid, jnp.take(gs, safe, axis=0), N + bidx)
+    r2 = jnp.where(
+        pos + k < N,
+        jnp.take(rank, jnp.clip(pos + k, 0, N - 1), axis=0),
+        -1,
+    )
+    sa, rank, gs = _relabel_and_scatter(g, r2, pos, sa, rank, gs)
+    # Jump to the next tied group start at or past the window end (slot
+    # indices are stable, so a sweep covers every group exactly once).
+    start_flag = jnp.logical_or(gs != jnp.roll(gs, 1), iota == 0)
+    tstarts = jnp.where(
+        jnp.logical_and(start_flag, _tied_flags(gs)), iota, N
+    )
+    rc = lax.cummin(tstarts, reverse=True)
+    nxt = lax.dynamic_slice(rc, (jnp.minimum(off + W, N - 1),), (1,))[0]
+    nxt = jnp.where(off + W >= N, N, nxt)
+    done_k = nxt >= N
+    k = jnp.where(done_k, k * 2, k)
+    off = jnp.where(done_k, 0, nxt)
+    return k, off, poisoned, sa, rank, gs
 
 
-_segmented_rotating_jit = jax.jit(
-    _segmented_rotating_kernel, donate_argnums=(0,)
-)
+#: Refinement passes per device dispatch: bounds single-dispatch wall time
+#: (long-running dispatches have tripped this environment's remote runtime)
+#: at the cost of a scalar readback between dispatches.
+_ROTATING_PASS_BUDGET = 8
+
+
+@functools.lru_cache(maxsize=None)
+def _rotating_steps_jit(N: int):
+    """Up to _ROTATING_PASS_BUDGET passes as one dispatch; returns the new
+    state plus a done flag.  State arrays are DONATED through."""
+    S = max(N // _SEG_DIV, 8)
+    W = max(S // 2, 4)
+
+    def f(k, off, poisoned, sa, rank, gs):
+        def cond(st):
+            i = st[0]
+            k_, off_, _, _, _, gs_ = st[1]
+            sweeping = jnp.logical_or(k_ < N, off_ > 0)
+            return jnp.logical_and(
+                i < _ROTATING_PASS_BUDGET,
+                jnp.logical_and(sweeping, jnp.any(_tied_flags(gs_))),
+            )
+
+        def body(st):
+            i, state = st
+            return i + 1, _rotating_pass(state, N, S, W)
+
+        _, state = lax.while_loop(
+            cond, body, (jnp.int32(0), (k, off, poisoned, sa, rank, gs))
+        )
+        k_, off_, poisoned_, sa_, rank_, gs_ = state
+        done = jnp.logical_or(
+            jnp.logical_and(k_ >= N, off_ == 0),
+            ~jnp.any(_tied_flags(gs_)),
+        )
+        return k_, off_, poisoned_, sa_, rank_, gs_, done
+
+    return jax.jit(f, donate_argnums=(3, 4, 5))
+
+
+_rotating_init_jit = jax.jit(_rotating_init)
+
+
+def segmented_rotating_sa(data_padded: jnp.ndarray, n) -> typing.Tuple[
+        jnp.ndarray, bool]:
+    """SA of ``data_padded[:n]`` as the tail of a length-N array via the
+    rotating kernel, driven in bounded dispatches; returns (sa_full,
+    poisoned) with ``poisoned`` a HOST bool (True = result untrustworthy,
+    re-run a full-sort kernel)."""
+    N = int(data_padded.shape[0])
+    state = _rotating_init_jit(data_padded, jnp.asarray(n, jnp.int32))
+    step = _rotating_steps_jit(N)
+    while True:
+        k, off, poisoned, sa, rank, gs, done = step(*state[:3], *state[3:])
+        state = (k, off, poisoned, sa, rank, gs)
+        if bool(done):
+            break
+    return state[3], bool(state[2])
 
 
 def _int_doubling_kernel(vals_padded: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:

@@ -106,7 +106,7 @@ def test_rotating_segmented_kernel_matches_oracle():
     numpy oracle, including inputs that poison its lazy schedule."""
     import jax.numpy as jnp
     from pysubstringsearch_tpu.ops.suffix_array import (
-        _pad_len, _segmented_rotating_kernel,
+        _pad_len, segmented_rotating_sa,
     )
 
     rng = np.random.default_rng(5)
@@ -120,11 +120,11 @@ def test_rotating_segmented_kernel_matches_oracle():
         N = _pad_len(n)
         padded = np.zeros(N, dtype=np.uint8)
         padded[:n] = data
-        sa_full, poisoned = _segmented_rotating_kernel(
+        sa_full, poisoned = segmented_rotating_sa(
             jnp.asarray(padded), jnp.int32(n)
         )
         want = suffix_array_numpy(data)
-        if bool(poisoned):
+        if poisoned:
             continue  # caller falls back; covered by the Reader-level test
         got = np.asarray(sa_full)[N - n:]
         assert np.array_equal(got, want), (n, data[:16])
