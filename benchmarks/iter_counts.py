@@ -54,6 +54,32 @@ def main():
         return jax.jit(jax.vmap(
             f, in_axes=(0, 0, 0, 0, 0, None, None, None, None)))
 
+    def diag_aux(deep):
+        def f(text, n, sa, table, limbs, hot_id, aux, rank, present, sub,
+              sub_len):
+            return S.probe_bounds_phased(
+                text, n, sa, table, limbs, rank, present, sub, sub_len,
+                idx.num_limbs, deep, idx._bits, count_iters=True,
+                hot_id=hot_id, aux=aux,
+            )
+        return jax.jit(jax.vmap(
+            f, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, None)))
+
+    def slope(fn, force, K=8):
+        def run_k(k):
+            t0 = time.time()
+            for _ in range(k):
+                out = fn()
+            force(out)
+            return time.time() - t0
+        run_k(K)
+        t1s, tks = [], []
+        for _ in range(5):
+            t1s.append(run_k(1)); tks.append(run_k(K))
+        t1 = sorted(t1s)[2]; tk = sorted(tks)[2]
+        return max((tk - t1) / (K - 1), 1e-9)
+
+    aux_ops = (idx.hot_id, idx.aux) if idx.h_pad > 0 else ()
     for (Bk, width, deep), (members, sub, sub_len) in zip(spec, flat):
         t0 = time.time()
         lo, cnt, iters = diag(deep)(
@@ -62,8 +88,36 @@ def main():
         )
         iters = np.asarray(iters)
         print(f'class Bk={Bk} width={width} deep={deep} real={members.size}: '
-              f'limb-loop iters per row = {iters.tolist()} '
+              f'NO-AUX limb-loop iters per row = {iters.tolist()} '
               f'(compile+run {time.time()-t0:.1f}s)', flush=True)
+        if idx.h_pad > 0:
+            t0 = time.time()
+            lo2, cnt2, iters2 = diag_aux(deep)(
+                idx.text, idx.lengths, idx.sa, idx.tables, idx.limbs,
+                idx.hot_id, idx.aux, idx.rank, idx.present, sub, sub_len,
+            )
+            print(f'  WITH-AUX iters per row = '
+                  f'{np.asarray(iters2).tolist()} '
+                  f'(compile+run {time.time()-t0:.1f}s)', flush=True)
+            assert np.array_equal(np.asarray(cnt), np.asarray(cnt2))
+        # per-class dispatch slope with the PRODUCTION executable
+        key = (idx.num_limbs, idx._bits, deep, idx.num_chunks, idx.n_pad,
+               idx._base ** idx._depth + 1, idx.h_pad, Bk, width)
+        exe = S.phased_class_exec(*key)
+        ops = (idx.text, idx.lengths, idx.sa, idx.tables, idx.limbs)
+        if idx.h_pad > 0:
+            ops += (idx.hot_id, idx.aux)
+        s = slope(lambda: exe(*ops, idx.rank, idx.present, sub, sub_len),
+                  lambda o: int(o[1][0, 0]))
+        print(f'  production class slope: {s*1e3:.2f} ms', flush=True)
+
+    # dispatch overhead of a TRIVIAL program at steady state
+    import jax.numpy as jnp
+    triv = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.int32)
+    triv(x).block_until_ready()
+    s = slope(lambda: triv(x), lambda o: int(o[0]), K=16)
+    print(f'trivial dispatch slope: {s*1e3:.3f} ms', flush=True)
 
 
 if __name__ == '__main__':

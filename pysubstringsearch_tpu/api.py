@@ -369,8 +369,11 @@ class Reader:
         with self._prof.phase('probe'):
             lo, cnt = idx.probe(packed, lengths)
         with self._prof.phase('extract'):
-            # One vectorized extraction per row; row-major concatenation
-            # preserves the per-pattern result order.
+            # One vectorized extraction per row; rows run serially — the
+            # host route inside already parallelizes across source chunks,
+            # and nesting pools oversubscribes the cores (measured ~1.7x
+            # slower at bench scale).  Row-major concatenation preserves
+            # the per-pattern result order.
             for r in range(idx.num_chunks):
                 per = self._extract_row(r, packed, lengths, lo[r], cnt[r])
                 for b, lines in per.items():
@@ -437,10 +440,13 @@ class Reader:
             pos, qid = pos[valid], qid[valid]
             pos, qid = self._drop_crossings(r, packed, lengths, pos, qid)
             return table.lines_for_positions(qid, pos)
-        # Host route: per source chunk, native bisection + host SA gather.
-        segs: typing.List[np.ndarray] = []
-        poss: typing.List[np.ndarray] = []
-
+        # Host route: per source chunk, native bisection + host SA gather +
+        # the WHOLE line pipeline (dedup, decode, materialize).  Lines are
+        # chunk-local (every chunk ends with \n), so per-chunk dedup equals
+        # global dedup and the distinct-line sets are disjoint — nothing
+        # needs a row-global sort, and the numpy stages of all chunks run
+        # concurrently (they release the GIL; only the final native str
+        # fan-out serializes).
         def one(j_c):
             j, c = j_c
             chunk = self._chunks[c]
@@ -455,17 +461,22 @@ class Reader:
                 + np.arange(int(cnt_c.sum()), dtype=np.int64)
             )
             pos = chunk.suffix_array[offs].astype(np.int64)
-            return seg, pos + int(idx.group_offsets[r][j])
+            return table.lines_for_positions(
+                seg, pos + int(idx.group_offsets[r][j])
+            )
 
         with ThreadPoolExecutor(
             max_workers=min(8, os.cpu_count() or 1)
         ) as pool:
-            for seg, pos in pool.map(one, list(enumerate(group))):
-                segs.append(seg)
-                poss.append(pos)
-        seg = np.concatenate(segs) if segs else np.zeros(0, np.int64)
-        pos = np.concatenate(poss) if poss else np.zeros(0, np.int64)
-        return table.lines_for_positions(seg, pos)
+            per_chunk = list(pool.map(one, list(enumerate(group))))
+        merged: typing.Dict[int, typing.List[str]] = {}
+        for per in per_chunk:
+            for b, lines in per.items():
+                if b in merged:
+                    merged[b].extend(lines)
+                else:
+                    merged[b] = lines
+        return merged
 
     def _drop_crossings(
         self,
@@ -510,7 +521,6 @@ class Reader:
             plens[i] = len(p)
         for r in range(idx.num_chunks):
             table = self.row_tables[r]
-            segs, poss = [], []
             for j, c in enumerate(idx.groups[r]):
                 chunk = self._chunks[c]
                 if native_available_for_probe():
@@ -536,15 +546,14 @@ class Reader:
                     np.repeat(lo_c.astype(np.int64) - firsts, cnt_c)
                     + np.arange(int(cnt_c.sum()), dtype=np.int64)
                 )
-                segs.append(seg)
-                poss.append(
+                pos = (
                     chunk.suffix_array[offs].astype(np.int64)
                     + int(idx.group_offsets[r][j])
                 )
-            seg = np.concatenate(segs) if segs else np.zeros(0, np.int64)
-            pos = np.concatenate(poss) if poss else np.zeros(0, np.int64)
-            for b, lines in table.lines_for_positions(seg, pos).items():
-                out[b].extend(lines)
+                for b, lines in table.lines_for_positions(
+                    seg, pos
+                ).items():
+                    out[b].extend(lines)
         return out
 
     def search(self, substring: str) -> typing.List[str]:

@@ -217,9 +217,12 @@ class DeviceIndex:
             num_limbs = self._auto_num_limbs(chunks)
         self.num_limbs = num_limbs
         #: Hot-bucket aux geometry (0 = disabled; see ops/search.py).
+        # Adaptive aux blocks quantize int32 key DIFFERENCES, so they are
+        # limited to the rank-packed encoding (values < 2^30; raw-packed
+        # byte keys span the full int32 and the subtraction could wrap).
         self.h_pad = (
             search_ops.aux_blocks_for(max_n)
-            if self.kind in ('ranked', 'raw') and search_ops.AUX_TH > 0
+            if self.kind == 'ranked' and search_ops.AUX_TH > 0
             else 0
         )
         if _plan_only:
@@ -342,6 +345,7 @@ class DeviceIndex:
         limbs = np.zeros(
             (self.num_chunks, n_pad * self.num_limbs), dtype=np.int32
         )
+        hot = aux = None
         for i, c in enumerate(chunks):
             if self.kind == 'ranked':
                 k = search_ops.build_ranked_limbs_host(
@@ -357,22 +361,25 @@ class DeviceIndex:
                     c.data, c.suffix_array, self.num_limbs
                 )
             limbs[i] = search_ops.pad_limbs_host(k, n_pad)
-        self.limbs = self._put_rows(limbs)
-        if self.h_pad > 0:
-            tlen = self._base ** depth + 1
-            hot = np.zeros((self.num_chunks, tlen - 1), dtype=np.int32)
-            aux = np.zeros(
-                (self.num_chunks, self.h_pad * (self._base + 1)),
-                dtype=np.int32,
-            )
-            for i, c in enumerate(chunks):
+            if self.h_pad > 0:
+                if hot is None:
+                    tlen = self._base ** depth + 1
+                    hot = np.zeros(
+                        (self.num_chunks, tlen - 1), dtype=np.int32
+                    )
+                    aux = np.zeros(
+                        (self.num_chunks,
+                         self.h_pad * search_ops.AUX_STRIDE),
+                        dtype=np.int32,
+                    )
                 hot[i] = search_ops.build_hot_id_host(
                     host_tables[i], search_ops.AUX_TH, self.h_pad
                 )
                 aux[i] = search_ops.build_aux_host(
-                    c.data, c.suffix_array, self._rank_host, host_tables[i],
-                    hot[i], self.h_pad, self._base, depth,
+                    k[0], host_tables[i], hot[i], self.h_pad
                 )
+        self.limbs = self._put_rows(limbs)
+        if self.h_pad > 0 and hot is not None:
             self.hot_id = self._put_rows(hot)
             self.aux = self._put_rows(aux)
 
@@ -408,15 +415,45 @@ class DeviceIndex:
                 sa = search_ops.derive_sa_full_jit()(t, jnp.int32(d.size))
             sas = set_row(sas, jnp.int32(i), sa)
             del t, sa
-        # Pass 2 — limb planes + seed tables, written straight into the
-        # donated stacked buffers (one plane per dispatch keeps the HBM
-        # transient to one plane's scratch).
-        limbs = jnp.zeros((C, n_pad * self.num_limbs), jnp.int32)
+        # Pass 2 — seed tables, then hot-bucket aux, then limb planes, in
+        # that order: the aux builder's transients (~7 row-size int32
+        # streams) and the limb planes' resident footprint must never be
+        # live together (measured OOM at 2 x 272 Mi rows when aux built
+        # after the limb buffer existed).
         tables = jnp.zeros((C, self._base ** self._depth + 1), jnp.int32)
         if self.kind in ('ranked', 'raw'):
+            table_into = search_ops.derive_table_raw_jit(self._base, depth)
+            for i, d in enumerate(self.row_data):
+                tables = table_into(
+                    tables, jnp.int32(i), texts[i], jnp.int32(d.size),
+                    sas[i], self.rank,
+                )
+            if self.h_pad > 0:
+                set_row2 = search_ops.set_row_jit()
+                hot_aux = search_ops.derive_hot_aux_jit(
+                    search_ops.AUX_TH, self.h_pad, self._depth, self._bits
+                )
+                pack0 = search_ops.ranked_pack_jit(self._bits)
+                tlen = self._base ** self._depth + 1
+                hots = jnp.zeros((C, tlen - 1), jnp.int32)
+                auxs = jnp.zeros(
+                    (C, self.h_pad * search_ops.AUX_STRIDE), jnp.int32
+                )
+                for i, d in enumerate(self.row_data):
+                    n_i = jnp.int32(d.size)
+                    h_i, a_i = hot_aux(
+                        tables[i], pack0(texts[i], n_i, self.rank),
+                        sas[i], n_i,
+                    )
+                    hots = set_row2(hots, jnp.int32(i), h_i)
+                    auxs = set_row2(auxs, jnp.int32(i), a_i)
+                    del h_i, a_i
+                self.hot_id = hots
+                self.aux = auxs
             # Pack each chunk's digit stream once (small-transient program),
             # then every plane is ONE dynamic-offset gather from it — a
             # single compiled program regardless of plane count.
+            limbs = jnp.zeros((C, n_pad * self.num_limbs), jnp.int32)
             if self.kind == 'ranked':
                 pack = search_ops.ranked_pack_jit(self._bits)
                 plane_into = search_ops.derive_limb_ranked_jit(
@@ -425,7 +462,6 @@ class DeviceIndex:
             else:
                 pack = search_ops.raw_pack_jit(depth)
                 plane_into = search_ops.derive_limb_raw_jit(depth)
-            table_into = search_ops.derive_table_raw_jit(self._base, depth)
             for i, d in enumerate(self.row_data):
                 n_i = jnp.int32(d.size)
                 t_i, sa_i = texts[i], sas[i]
@@ -437,11 +473,9 @@ class DeviceIndex:
                     limbs = plane_into(
                         limbs, jnp.int32(i), jnp.int32(j), src, n_i, sa_i
                     )
-                tables = table_into(
-                    tables, jnp.int32(i), t_i, n_i, sa_i, self.rank
-                )
                 del t_i, sa_i, src
         else:
+            limbs = jnp.zeros((C, n_pad * self.num_limbs), jnp.int32)
             derive_aux = search_ops.derive_aux_jit(self.num_limbs, depth)
             for i, d in enumerate(self.row_data):
                 lb, tb = derive_aux(
@@ -454,26 +488,6 @@ class DeviceIndex:
         self.sa = sas
         self.limbs = limbs
         self.tables = tables
-        if self.h_pad > 0:
-            set_row2 = search_ops.set_row_jit()
-            hot_aux = search_ops.derive_hot_aux_jit(
-                self._base, self._depth, search_ops.AUX_TH, self.h_pad
-            )
-            tlen = self._base ** self._depth + 1
-            hots = jnp.zeros((C, tlen - 1), jnp.int32)
-            auxs = jnp.zeros(
-                (C, self.h_pad * (self._base + 1)), jnp.int32
-            )
-            for i, d in enumerate(self.row_data):
-                h_i, a_i = hot_aux(
-                    texts[i], jnp.int32(d.size), sas[i], self.rank,
-                    tables[i],
-                )
-                hots = set_row2(hots, jnp.int32(i), h_i)
-                auxs = set_row2(auxs, jnp.int32(i), a_i)
-                del h_i, a_i
-            self.hot_id = hots
-            self.aux = auxs
 
     def _init_derive_sharded(self, n_pad, depth):
         """Derive with mesh placement: each row's SA/limbs/tables build on
@@ -519,14 +533,18 @@ class DeviceIndex:
                         h_i = jnp.zeros((table_len - 1,), jnp.int32,
                                         device=dev)
                         a_i = jnp.zeros(
-                            (self.h_pad * (self._base + 1),), jnp.int32,
-                            device=dev,
+                            (self.h_pad * search_ops.AUX_STRIDE,),
+                            jnp.int32, device=dev,
                         )
                     else:
+                        n_i2 = jnp.int32(d.size)
+                        packed0 = search_ops.ranked_pack_jit(self._bits)(
+                            t, n_i2, rank_d
+                        )
                         h_i, a_i = search_ops.derive_hot_aux_jit(
-                            self._base, self._depth, search_ops.AUX_TH,
-                            self.h_pad,
-                        )(t, jnp.int32(d.size), sa, rank_d, tb)
+                            search_ops.AUX_TH, self.h_pad, self._depth,
+                            self._bits,
+                        )(tb, packed0, sa, n_i2)
                     h_rows.append(h_i)
                     a_rows.append(a_i)
                 t_rows.append(t)
@@ -550,7 +568,8 @@ class DeviceIndex:
                 (C, table_len - 1), self.sharding, h_shards
             )
             self.aux = mk(
-                (C, self.h_pad * (self._base + 1)), self.sharding, a_shards
+                (C, self.h_pad * search_ops.AUX_STRIDE), self.sharding,
+                a_shards,
             )
 
     def _group_batch(self, patterns: np.ndarray, lengths: np.ndarray):
@@ -637,7 +656,8 @@ class DeviceIndex:
             parts = []
             for (Bk, width, deep), (idx, sub, sub_len) in zip(spec, flat):
                 probe = search_ops.phased_batch_jit(
-                    deep, self.num_limbs, self._bits, self.h_pad > 0
+                    deep, self.num_limbs, self._bits, self.h_pad > 0,
+                    uniform_long=width > self._depth,
                 )
                 ops = (self.text, self.lengths, self.sa, self.tables,
                        self.limbs)

@@ -896,6 +896,28 @@ def build_seed_table_device(text, n, sa, rank, base: int, depth: int):
     return jnp.minimum(table, n)
 
 
+def _tiny_map(values, table256):
+    """Map byte values through a [256] int32 table WITHOUT a gather.
+
+    Flat element gathers cost ~13 ns/element on TPU regardless of how small
+    the table is (benchmarks/probe_decomp.py), which makes per-byte
+    rank/present lookups a dominant cost of probe SEEDING at 10k-batch
+    scale.  A one-hot contraction computes the same map on the MXU for
+    noise-level time (each one-hot row has exactly one 1, so the f32
+    accumulation is exact for table values < 2^24).
+    """
+    oh = (
+        values[..., None]
+        == lax.broadcasted_iota(
+            jnp.int32, values.shape + (256,), values.ndim
+        )
+    )
+    return jnp.einsum(
+        '...k,k->...', oh.astype(jnp.float32),
+        table256.astype(jnp.float32),
+    ).astype(jnp.int32)
+
+
 def _pattern_buckets_ranked(raw_both, lengths, thresholds, rank, present,
                             base: int, depth: int):
     """(bucket ids [2B], prefix_present [2B]) for duplex lanes.
@@ -913,8 +935,8 @@ def _pattern_buckets_ranked(raw_both, lengths, thresholds, rank, present,
     ipos = lax.broadcasted_iota(jnp.int32, (B2, depth), 1)
     bytes_d = jnp.zeros((B2, depth), jnp.int32)
     bytes_d = bytes_d.at[:, :cols].set(raw_both[:, :cols].astype(jnp.int32))
-    r = jnp.take(rank, bytes_d.reshape(-1)).reshape(B2, depth)
-    pres = jnp.take(present, bytes_d.reshape(-1)).reshape(B2, depth) > 0
+    r = _tiny_map(bytes_d, rank)
+    pres = _tiny_map(bytes_d, present) > 0
     in_len = ipos < lengths[:, None]
     bad = jnp.logical_and(in_len, ~pres)
     first_bad = jnp.min(jnp.where(bad, ipos, depth), axis=1)
@@ -1005,82 +1027,125 @@ def build_hot_id_host(table: np.ndarray, th: int, h_pad: int) -> np.ndarray:
     return np.where(hot & (ids < h_pad), ids, -1).astype(np.int32)
 
 
+#: Aux block layout: [vmin, shift, B0..B32] — 35 int32 per block.
+AUX_STRIDE = 35
+#: log2 of the sub-buckets per block.
+_AUX_QBITS = 5
+
+
 def build_aux_host(
-    data: np.ndarray, sa: np.ndarray, rank: np.ndarray, table: np.ndarray,
-    hot_id: np.ndarray, h_pad: int, base: int, depth: int,
+    limb0: np.ndarray, table: np.ndarray, hot_id: np.ndarray, h_pad: int,
 ) -> np.ndarray:
-    """int32 [h_pad * (base + 1)] flattened aux blocks (host twin)."""
-    n = data.size
-    out = np.zeros((h_pad, base + 1), dtype=np.int32)
-    if n == 0 or h_pad == 0:
-        return out.reshape(-1)
-    rk = rank.astype(np.int64)[data]
-    pv = np.zeros(n, dtype=np.int64)
-    for j in range(depth):
-        nxt = np.zeros(n, dtype=np.int64)
-        nxt[: n - j] = rk[j:]
-        pv = pv * base + nxt
-    d6 = np.zeros(n, dtype=np.int64)
-    d6[: max(n - depth, 0)] = rk[depth:]
-    sa64 = sa.astype(np.int64)
-    aid = hot_id[pv[sa64]]
-    d6s = d6[sa64]
-    valid = aid >= 0
-    key = aid[valid] * base + d6s[valid]
-    hist = np.bincount(key, minlength=h_pad * base).reshape(h_pad, base)
-    csum = np.cumsum(hist, axis=1)
-    excl = csum - hist
-    hot_start = np.zeros(h_pad, dtype=np.int64)
+    """int32 [h_pad * AUX_STRIDE] flattened adaptive-shift aux blocks.
+
+    For hot bucket h spanning SA slots [lo, hi): vmin/vmax are the (sorted)
+    limb-0 values at the range ends, shift = max(0, bits(span) - 5), and
+    B[q] = first slot whose limb-0 value is >= vmin + (q << shift)
+    (B[32] = hi unconditionally, so an underestimated shift only coarsens
+    granularity, never loses containment).  The quantization adapts to
+    WHERE the bucket's keys diverge — a fixed next-digit histogram is
+    degenerate whenever the continuation byte is deterministic (e.g. any
+    range inside one word's occurrences).  ``limb0`` is the plane-0 packed
+    keys in SA-slot order.
+    """
+    out = np.zeros((h_pad, AUX_STRIDE), dtype=np.int32)
     ks = np.flatnonzero(hot_id >= 0)
-    hot_start[hot_id[ks]] = table[:-1][ks]
-    out[:, :base] = (hot_start[:, None] + excl).astype(np.int32)
-    out[:, base] = (hot_start + csum[:, -1]).astype(np.int32)
+    if ks.size == 0:
+        return out.reshape(-1)
+    v64 = limb0.astype(np.int64)
+    for k in ks.tolist():
+        h = hot_id[k]
+        lo, hi = int(table[k]), int(table[k + 1])
+        vmin = int(v64[lo])
+        span = int(v64[hi - 1]) - vmin
+        shift = max(0, int(span).bit_length() - _AUX_QBITS)
+        qs = vmin + (np.arange(1 << _AUX_QBITS, dtype=np.int64) << shift)
+        b = lo + np.searchsorted(v64[lo:hi], qs, side='left')
+        out[h, 0] = np.int32(vmin)
+        out[h, 1] = shift
+        out[h, 2:2 + (1 << _AUX_QBITS)] = b.astype(np.int32)
+        out[h, 2 + (1 << _AUX_QBITS)] = hi
     return out.reshape(-1)
-
-
 @functools.lru_cache(maxsize=None)
-def derive_hot_aux_jit(base: int, depth: int, th: int, h_pad: int):
-    """Device program: (text, n, sa, rank, table) -> (hot_id, aux) — the
-    device twin of build_hot_id_host + build_aux_host, sharing the seed
-    table's prefix-value stream construction."""
+def derive_hot_aux_jit(th: int, h_pad: int, depth: int, bits: int):
+    """Device twin of build_hot_id_host + build_aux_host:
+    (table, packed rank stream, sa, n) -> (hot_id, aux); the plane-0 keys
+    are recomputed from the packed stream so this program can run BEFORE
+    the stacked limb buffer exists (HBM transient discipline — see
+    models/index.py pass ordering).
 
-    def f(text, n, sa, rank, table):
-        N = text.shape[0]
-        n_ = jnp.asarray(n, jnp.int32)
-        iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
-        dd = jnp.where(iota < n_, jnp.take(rank, text.astype(jnp.int32)), 0)
-        pv = jnp.zeros((N,), jnp.int32)
-        for j in range(depth):
-            pv = pv * base + jnp.where(iota + j < n_, jnp.roll(dd, -j), 0)
-        d6 = jnp.where(iota + depth < n_, jnp.roll(dd, -depth), 0)
+    B[q] boundaries come from a scatter-min of slot indices over
+    (block, q) keys completed with a backward cummin — the same
+    construction as the seed table, in quantized value space.
+    """
+
+    Q = 1 << _AUX_QBITS
+
+    def f(table, packed, sa, n):
+        limb0 = _ranked_limb_col_from_pack(packed, n, sa, 0, depth, bits)
+        N = limb0.shape[0]
+        size = table.shape[0] - 1
         w = table[1:] - table[:-1]
         hot = w > th
         ids = jnp.cumsum(hot.astype(jnp.int32)) - 1
         hot_id = jnp.where(
             jnp.logical_and(hot, ids < h_pad), ids, -1
         ).astype(jnp.int32)
-        sa_c = jnp.clip(sa, 0, N - 1)
-        pv_sa = jnp.take(pv, sa_c)
-        d6_sa = jnp.take(d6, sa_c)
-        aid = jnp.take(hot_id, jnp.clip(pv_sa, 0, hot_id.shape[0] - 1))
-        valid = jnp.logical_and(iota < n_, aid >= 0)
-        key = jnp.where(valid, jnp.clip(aid, 0, h_pad - 1) * base + d6_sa,
-                        h_pad * base)
-        hist = (
-            jnp.zeros((h_pad * base + 1,), jnp.int32)
-            .at[key].add(1)[: h_pad * base]
-            .reshape(h_pad, base)
-        )
-        csum = jnp.cumsum(hist, axis=1)
-        excl = csum - hist
-        hot_start = (
+        # Per hot block: vmin/vmax from the (sorted) range-end values.
+        ks_lo = jnp.clip(table[:-1], 0, N - 1)
+        ks_hi = jnp.clip(table[1:] - 1, 0, N - 1)
+        vmin_k = jnp.take(limb0, ks_lo)
+        span_k = jnp.take(limb0, ks_hi) - vmin_k
+        # shift = max(0, bit_length(span) - QBITS); exact via comparisons
+        # against powers of two (span < 2^30 for rank-packed keys).
+        shift_k = jnp.zeros(size, jnp.int32)
+        for b in range(_AUX_QBITS, 31):
+            shift_k = jnp.where(span_k >= (1 << b), b + 1 - _AUX_QBITS,
+                                shift_k)
+        tgt_idx = jnp.where(hot_id >= 0, hot_id, h_pad)
+        vmin_b = (
             jnp.zeros((h_pad + 1,), jnp.int32)
-            .at[jnp.where(hot_id >= 0, hot_id, h_pad)]
-            .set(table[:-1], mode='drop')[:h_pad]
+            .at[tgt_idx].set(vmin_k, mode='drop')[:h_pad]
+        )
+        shift_b = (
+            jnp.zeros((h_pad + 1,), jnp.int32)
+            .at[tgt_idx].set(shift_k, mode='drop')[:h_pad]
+        )
+        hi_b = (
+            jnp.zeros((h_pad + 1,), jnp.int32)
+            .at[tgt_idx].set(table[1:], mode='drop')[:h_pad]
+        )
+        # Bucket id per SA slot via the seed-table inverse: slot -> bucket
+        # by searchsorted over table is O(N log); instead scatter bucket
+        # starts and forward-cummax.
+        iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
+        kiota = lax.broadcasted_iota(jnp.int32, (size,), 0)
+        first = (
+            jnp.full((N + 1,), -1, jnp.int32)
+            .at[jnp.clip(table[:-1], 0, N)].max(kiota, mode='drop')[:N]
+        )
+        bucket_of = lax.cummax(jnp.maximum(first, 0))
+        aid = jnp.take(hot_id, bucket_of)
+        vmin_s = jnp.take(vmin_b, jnp.clip(aid, 0, h_pad - 1))
+        shift_s = jnp.take(shift_b, jnp.clip(aid, 0, h_pad - 1))
+        q = jnp.clip(
+            lax.shift_right_arithmetic(limb0 - vmin_s, shift_s), 0, Q - 1
+        )
+        valid = jnp.logical_and(aid >= 0, iota < n)
+        key = jnp.where(valid, jnp.clip(aid, 0, h_pad - 1) * Q + q,
+                        h_pad * Q)
+        firstq = (
+            jnp.full((h_pad * Q + 1,), N, jnp.int32)
+            .at[key].min(iota, mode='drop')[: h_pad * Q]
+            .reshape(h_pad, Q)
+        )
+        # complete: B[q] = min over q' >= q, seeded from hi at the right.
+        b_rows = lax.cummin(
+            jnp.concatenate([firstq, hi_b[:, None]], axis=1),
+            axis=1, reverse=True,
         )
         aux = jnp.concatenate(
-            [hot_start[:, None] + excl, (hot_start + csum[:, -1])[:, None]],
-            axis=1,
+            [vmin_b[:, None], shift_b[:, None], b_rows], axis=1
         )
         return hot_id, aux.reshape(-1)
 
@@ -1238,8 +1303,8 @@ def _ranked_targets(patterns, lengths, thresholds, rank, present,
     raw = jnp.zeros((B2, width), jnp.int32)
     raw = raw.at[:, :cols].set(patterns[:, :cols].astype(jnp.int32))
     in_len = ipos < lengths[:, None]
-    r = jnp.take(rank, raw.reshape(-1)).reshape(B2, width)
-    pres = jnp.take(present, raw.reshape(-1)).reshape(B2, width) > 0
+    r = _tiny_map(raw, rank)
+    pres = _tiny_map(raw, present) > 0
     digit = jnp.where(in_len, r, pad[:, None])
     tgt = jnp.stack(
         [
@@ -1262,7 +1327,8 @@ def probe_bounds_phased(text, n, sa, table, limbs_flat, rank, present,
                         deep: bool = False,
                         bits: typing.Optional[int] = None,
                         count_iters: bool = False,
-                        hot_id=None, aux=None):
+                        hot_id=None, aux=None,
+                        uniform_long: bool = False):
     """(lower, count) for a query batch via the phased packed-limb search.
 
     One int32 gather per lane per while-iteration; phases descend limb by
@@ -1279,9 +1345,30 @@ def probe_bounds_phased(text, n, sa, table, limbs_flat, rank, present,
     B = patterns.shape[0]
     base, depth = table_params(table.shape[0])
     raw_both = jnp.concatenate([patterns, patterns], axis=0).astype(jnp.uint8)
-    bucket, prefix_present = _pattern_buckets_ranked(
-        raw_both, both_len, thresholds, rank, present, base, depth
-    )
+    # Per-pair seeding is only sound when the CALLER guarantees every
+    # real lane's pattern exceeds the seed depth (the class-dispatched
+    # production path; class >= 1 members all satisfy it, and pad lanes'
+    # bounds are discarded).  Mixed direct calls keep the exact duplex
+    # seeding.
+    pair_seed = uniform_long and patterns.shape[1] > depth
+    if pair_seed:
+        # Every real pattern in this class is longer than the seed depth,
+        # so its first `depth` digits carry no pads: bucket ids (and hence
+        # table/aux seeds) are IDENTICAL across the duplex pair — compute
+        # them once per pair and tile.  (Pad lanes have length 0 and are
+        # seed-resolved/done immediately; their bounds are discarded.)
+        bucket_p, prefix_present_p = _pattern_buckets_ranked(
+            patterns.astype(jnp.uint8), lengths,
+            jnp.zeros((B,), jnp.int32), rank, present, base, depth,
+        )
+        bucket = jnp.concatenate([bucket_p, bucket_p])
+        prefix_present = jnp.concatenate(
+            [prefix_present_p, prefix_present_p]
+        )
+    else:
+        bucket, prefix_present = _pattern_buckets_ranked(
+            raw_both, both_len, thresholds, rank, present, base, depth
+        )
     if bits is None:
         cover = raw_cover_bytes(num_limbs, depth)
         tgt, k_lane = _raw_targets(
@@ -1303,54 +1390,118 @@ def probe_bounds_phased(text, n, sa, table, limbs_flat, rank, present,
     bump = jnp.logical_and(
         jnp.logical_and(thresholds > 0, both_len == depth), prefix_present
     )
-    lo0 = jnp.take(table, bucket + bump.astype(jnp.int32), axis=0)
-    hi0 = jnp.take(table, bucket + 1, axis=0)
-    if hot_id is not None and patterns.shape[1] > depth:
-        # Hot-bucket aux: resolve one extra rank digit for wide buckets
-        # (see the section comment above).  Only pairs with limb phases
-        # (len > depth) consult it; their byte at index `depth` exists, and
-        # both duplex lanes share its rank digit, so the refined range
-        # [block[d6], block[d6+1]] contains both bounds (a bound can sit AT
-        # the block end — bisection over [blo, bhi) returns bhi exactly
-        # when no in-range slot satisfies the predicate).
-        d6 = jnp.take(rank, raw_both[:, depth].astype(jnp.int32))
+    if pair_seed:
+        # bump never fires (lengths != depth for real lanes; pad lanes are
+        # discarded), so the pair shares (lo0, hi0) — one gather pair per
+        # pair instead of per lane.
+        lo0_p = jnp.take(table, bucket_p, axis=0)
+        hi0_p = jnp.take(table, bucket_p + 1, axis=0)
+        lo0 = jnp.concatenate([lo0_p, lo0_p])
+        hi0 = jnp.concatenate([hi0_p, hi0_p])
+    else:
+        lo0 = jnp.take(table, bucket + bump.astype(jnp.int32), axis=0)
+        hi0 = jnp.take(table, bucket + 1, axis=0)
+    if hot_id is not None and pair_seed:
+        # Adaptive-shift aux: quantize each lane's limb-0 target into its
+        # hot bucket's value grid and jump to the matching boundary pair
+        # (see build_aux_host).  The lane's limb-0 target is exact for its
+        # own bound semantics (lower pads -inf digits, upper +inf), and
+        # B[q] <= bound <= B[q+1] holds by the grid construction, so the
+        # refined range always contains the answer.  Five extra gathers
+        # per lane, once.
         aid = jnp.take(
-            hot_id, jnp.clip(bucket, 0, hot_id.shape[0] - 1), axis=0
+            hot_id, jnp.clip(bucket_p, 0, hot_id.shape[0] - 1), axis=0
         )
-        bw = base + 1
-        slot = jnp.clip(aid, 0, (aux.shape[0] // bw) - 1) * bw + d6
-        blo = jnp.take(aux, slot, axis=0)
-        bhi = jnp.take(aux, slot + 1, axis=0)
-        use = jnp.logical_and(aid >= 0, both_len > depth)
-        lo0 = jnp.where(use, blo, lo0)
-        hi0 = jnp.where(use, bhi, hi0)
+        a0 = jnp.clip(aid, 0, (aux.shape[0] // AUX_STRIDE) - 1) * AUX_STRIDE
+        vmin = jnp.take(aux, a0, axis=0)
+        shift = jnp.take(aux, a0 + 1, axis=0)
+        # The pair's limb-0 targets differ only in PAD digits; the LOWER
+        # target (-inf pads) quantizes to a cell at or below the upper's,
+        # and both bounds live in the same bucket, so seeding both lanes
+        # from the UNION of the two cells stays containing.  Cheaper: use
+        # the lower target's cell start and the upper target's cell end.
+        t_lo = tgt[:B, 0]
+        t_up = tgt[B:, 0]
+        q_lo = jnp.clip(
+            lax.shift_right_arithmetic(t_lo - vmin, shift),
+            0, (1 << _AUX_QBITS) - 1,
+        )
+        q_up = jnp.clip(
+            lax.shift_right_arithmetic(t_up - vmin, shift),
+            0, (1 << _AUX_QBITS) - 1,
+        )
+        blo = jnp.take(aux, a0 + 2 + q_lo, axis=0)
+        bhi = jnp.take(aux, a0 + 2 + q_up + 1, axis=0)
+        use = jnp.logical_and(aid >= 0, lengths > depth)
+        blo2 = jnp.concatenate([blo, blo])
+        bhi2 = jnp.concatenate([bhi, bhi])
+        use2 = jnp.concatenate([use, use])
+        lo0 = jnp.where(use2, blo2, lo0)
+        hi0 = jnp.where(use2, bhi2, hi0)
     Nk = limbs_flat.shape[0]
     Ns = Nk // max(num_limbs, 1)
     kcol = lax.broadcasted_iota(jnp.int32, (2 * B, num_limbs), 1)
+    is_upper = thresholds > 0
 
     # done / j are per PAIR [B]; lanes idle once their pair is done.
     done0 = k_pair < 1  # bucket digits already decide these patterns
     j0 = jnp.zeros((B,), jnp.int32)
+    # fresh = pair is ENTERING a phase this iteration: instead of bisecting,
+    # the lower lane peeks the range start's limb value and the upper lane
+    # the range end's.  Over a sorted range, an answer at either endpoint
+    # resolves in this single probe — which covers the common skewed cases
+    # outright: ranges whose packed keys are all EQUAL (buckets whose
+    # continuation bytes are deterministic, e.g. any range inside one
+    # word's occurrences — bisection would burn log2(width) iterations
+    # discovering uniformity), zero-count patterns, and edge-hugging
+    # bounds.  Unresolved lanes lose one iteration and bisect normally.
+    fresh0 = ~done0
 
     def cond(state):
-        lo, hi, j, done = state
+        lo, hi, j, done, fresh = state
         return jnp.any(~done)
 
     def body(state):
-        lo, hi, j, done = state
+        lo, hi, j, done, fresh = state
         j2 = jnp.concatenate([j, j])
         done2 = jnp.concatenate([done, done])
+        fresh2 = jnp.concatenate([fresh, fresh])
         mid = (lo + hi) // 2
-        idx = j2 * Ns + jnp.clip(mid, 0, Ns - 1)
+        # Probe slot: phase-entry lanes peek their pair-range endpoints
+        # (at entry each lane's own (lo, hi) IS the pair range).
+        peek = jnp.where(is_upper, jnp.maximum(hi - 1, lo), lo)
+        slot = jnp.where(fresh2, peek, mid)
+        idx = j2 * Ns + jnp.clip(slot, 0, Ns - 1)
         v = jnp.take(limbs_flat, jnp.clip(idx, 0, Nk - 1), axis=0)
         # target of the current phase: one-hot select along K (K tiny).
         t = jnp.sum(
             jnp.where(kcol == j2[:, None], tgt, 0), axis=1
         )
-        pred = jnp.where(thresholds > 0, v > t, v >= t)
-        active = jnp.logical_and(lo < hi, ~done2)
+        pred = jnp.where(is_upper, v > t, v >= t)
+        # Endpoint resolution for fresh lanes, sharing the pair's two
+        # endpoint values: answer == range start when the start's value
+        # already satisfies the predicate; == range end when the end's
+        # value does not.
+        vA2 = jnp.concatenate([v[:B], v[:B]])
+        vZ2 = jnp.concatenate([v[B:], v[B:]])
+        hit_at_a = jnp.where(is_upper, vA2 > t, vA2 >= t)
+        miss_at_z = jnp.where(is_upper, vZ2 <= t, vZ2 < t)
+        pa2 = jnp.concatenate([lo[:B], lo[:B]])
+        pz2 = jnp.concatenate([hi[:B], hi[:B]])
+        nonempty2 = pa2 < pz2
+        resolved = jnp.logical_and(
+            jnp.logical_and(fresh2, nonempty2),
+            jnp.logical_and(jnp.logical_or(hit_at_a, miss_at_z), ~done2),
+        )
+        res = jnp.where(hit_at_a, pa2, pz2)
+        # Normal bisection applies to non-fresh active lanes only.
+        active = jnp.logical_and(
+            jnp.logical_and(lo < hi, ~done2), ~fresh2
+        )
         hi = jnp.where(jnp.logical_and(active, pred), mid, hi)
         lo = jnp.where(jnp.logical_and(active, ~pred), mid + 1, lo)
+        lo = jnp.where(resolved, res, lo)
+        hi = jnp.where(resolved, res, hi)
         # Phase transition: both lanes of a pair converged.
         conv = lo >= hi
         pair_conv = jnp.logical_and(
@@ -1368,23 +1519,25 @@ def probe_bounds_phased(text, n, sa, table, limbs_flat, rank, present,
         Z2 = jnp.concatenate([Z, Z])
         lo = jnp.where(adv2, A2, lo)
         hi = jnp.where(adv2, Z2, hi)
-        return lo, hi, j, done
+        return lo, hi, j, done, adv
 
     if count_iters:
         # Diagnostic twin: same loop with an iteration counter (the
         # while_loop bills every lane for the slowest lane, so this number
         # IS the phase-probe's device cost driver; see benchmarks/).
         def cond_c(state):
-            return cond(state[:4])
+            return cond(state[:5])
 
         def body_c(state):
-            return body(state[:4]) + (state[4] + 1,)
+            return body(state[:5]) + (state[5] + 1,)
 
-        lo, hi, _, _, iters1 = lax.while_loop(
-            cond_c, body_c, (lo0, hi0, j0, done0, jnp.int32(0))
+        lo, hi, _, _, _, iters1 = lax.while_loop(
+            cond_c, body_c, (lo0, hi0, j0, done0, fresh0, jnp.int32(0))
         )
     else:
-        lo, hi, _, _ = lax.while_loop(cond, body, (lo0, hi0, j0, done0))
+        lo, hi, _, _, _ = lax.while_loop(
+            cond, body, (lo0, hi0, j0, done0, fresh0)
+        )
     if deep:
         # Patterns longer than the packed coverage: continue on raw text
         # within the key-resolved tie range.  Pairs already resolved start
@@ -1427,7 +1580,8 @@ def probe_bounds_phased(text, n, sa, table, limbs_flat, rank, present,
 @functools.lru_cache(maxsize=None)
 def phased_batch_jit(deep: bool, num_limbs: int,
                      bits: 'typing.Optional[int]' = None,
-                     has_aux: bool = False):
+                     has_aux: bool = False,
+                     uniform_long: bool = False):
     """Jitted chunk-vmapped phased probe — one compiled program per
     (deep?, num_limbs, bits, has_aux, operand shapes), independent of
     corpus statistics.  rank/present are shared across chunks (union
@@ -1440,6 +1594,7 @@ def phased_batch_jit(deep: bool, num_limbs: int,
             return probe_bounds_phased(
                 text, n, sa, table, limbs, rank, present, patterns,
                 lengths, num_limbs, deep, bits, hot_id=hot_id, aux=aux,
+                uniform_long=uniform_long,
             )
 
         return jax.jit(
@@ -1452,7 +1607,7 @@ def phased_batch_jit(deep: bool, num_limbs: int,
     def f(text, n, sa, table, limbs, rank, present, patterns, lengths):
         return probe_bounds_phased(
             text, n, sa, table, limbs, rank, present, patterns, lengths,
-            num_limbs, deep, bits,
+            num_limbs, deep, bits, uniform_long=uniform_long,
         )
 
     return jax.jit(
@@ -1481,6 +1636,10 @@ _EXEC_CACHE: dict = {}
 _EXEC_LOCK = threading.Lock()
 
 
+def _depth_of(table_len: int) -> int:
+    return table_params(table_len)[1]
+
+
 def _class_exec_key(num_limbs, bits, deep, C, n_pad, table_len, h_pad, Bk,
                     width):
     return (num_limbs, bits, deep, C, n_pad, table_len, h_pad, Bk, width)
@@ -1506,8 +1665,8 @@ def phased_class_exec(num_limbs: int, bits, deep: bool, C: int, n_pad: int,
     )
     if h_pad > 0:
         args += (
-            s((C, table_len - 1), jnp.int32),        # hot_id
-            s((C, h_pad * (base + 1)), jnp.int32),   # aux blocks
+            s((C, table_len - 1), jnp.int32),          # hot_id
+            s((C, h_pad * AUX_STRIDE), jnp.int32),     # aux blocks
         )
     args += (
         s((256,), jnp.int32),              # rank
@@ -1515,7 +1674,9 @@ def phased_class_exec(num_limbs: int, bits, deep: bool, C: int, n_pad: int,
         s((Bk, width), jnp.uint8),         # patterns
         s((Bk,), jnp.int32),               # lengths
     )
-    lowered = phased_batch_jit(deep, num_limbs, bits, h_pad > 0).lower(*args)
+    lowered = phased_batch_jit(
+        deep, num_limbs, bits, h_pad > 0, uniform_long=width > _depth_of(table_len)
+    ).lower(*args)
     compiled = lowered.compile()
     with _EXEC_LOCK:
         _EXEC_CACHE.setdefault(key, compiled)

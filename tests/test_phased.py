@@ -385,14 +385,27 @@ def test_hot_bucket_aux_host_device_twins(monkeypatch):
     pres = np.bincount(data, minlength=256)[:256] > 0
     rank, sigma = S.alphabet_rank(pres)
     base, depth = S.pick_table_params(sigma, data.size)
+    bits = S.ranked_bits(sigma)
     table = S.build_seed_table_host(data, sa, rank, base, depth)
+    limb0 = S.build_ranked_limbs_host(data, sa, rank, 1, depth, bits)[0]
     h_pad = 64
     hot = S.build_hot_id_host(table, 2, h_pad)
-    aux = S.build_aux_host(data, sa, rank, table, hot, h_pad, base, depth)
-    N = data.size  # no padding needed for the device twin here
-    hot_d, aux_d = S.derive_hot_aux_jit(base, depth, 2, h_pad)(
-        jnp.asarray(data), jnp.int32(data.size), jnp.asarray(sa),
-        jnp.asarray(rank), jnp.asarray(table),
+    aux = S.build_aux_host(limb0, table, hot, h_pad)
+    # Pad like production: the packed stream's roll wrap-around and the
+    # past-end gather clamp are only correct behind a PAD_MARGIN of zeros.
+    from pysubstringsearch_tpu.ops.suffix_array import _pad_len
+
+    n = data.size
+    N = _pad_len(n + S.PAD_MARGIN)
+    tpad = np.zeros(N, np.uint8)
+    tpad[:n] = data
+    sapad = np.zeros(N, np.int32)
+    sapad[:n] = sa
+    packed = S.ranked_pack_jit(bits)(
+        jnp.asarray(tpad), jnp.int32(n), jnp.asarray(rank)
+    )
+    hot_d, aux_d = S.derive_hot_aux_jit(2, h_pad, depth, bits)(
+        jnp.asarray(table), packed, jnp.asarray(sapad), jnp.int32(n)
     )
     assert np.array_equal(np.asarray(hot_d), hot)
     assert np.array_equal(np.asarray(aux_d), aux)
