@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import collections
 import os
+import threading
+import time
 import typing
 from concurrent.futures import Future, ThreadPoolExecutor
 
@@ -269,6 +271,55 @@ class Reader:
         self._index_mode = os.environ.get('TPUSS_INDEX_MODE', index_mode)
         self._device_index: typing.Optional[DeviceIndex] = None
         self._row_tables: typing.Optional[typing.List[LineTable]] = None
+        self._chunk_tables: typing.Dict[int, LineTable] = {}
+        self._device_exc: typing.Optional[BaseException] = None
+        self._device_ready = threading.Event()
+        self._bg_thread: typing.Optional[threading.Thread] = None
+        if self._background_load_default() and chunks:
+            # Slow-link serving architecture: the host path (native
+            # bisection over the container's SAs) answers queries the
+            # moment the container is parsed — the reference Reader's
+            # ready-in-milliseconds behavior (src/lib.rs:161-199) — while
+            # the device index derives and warms on this thread; queries
+            # switch over when it is ready.
+            self._bg_thread = threading.Thread(
+                target=self._bg_load, name='tpuss-device-load', daemon=True
+            )
+            self._bg_thread.start()
+
+    @staticmethod
+    def _background_load_default() -> bool:
+        flag = os.environ.get('TPUSS_BG_LOAD')
+        if flag is not None:
+            return flag not in ('0', 'false', 'no')
+        try:
+            import jax
+
+            return jax.default_backend() != 'cpu'
+        except Exception:
+            return False
+
+    def _build_device_index(self) -> DeviceIndex:
+        """Device-index construction hook (subclasses inject placement)."""
+        return DeviceIndex(self._chunks, mode=self._index_mode)
+
+    def _bg_load(self) -> None:
+        try:
+            with self._prof.phase('device-load'):
+                index = self._build_device_index()
+            with self._prof.phase('device-warm'):
+                # Force the async derive tail (limb/table/aux programs
+                # execute lazily on remote-attach platforms) so "ready"
+                # means steady-state-fast, not first-probe-pays-the-tail.
+                probe_pats = np.full((8, 4), ord('e'), dtype=np.uint8)
+                probe_lens = np.full((8,), 4, dtype=np.int32)
+                lo, cnt = index.probe(probe_pats, probe_lens)
+                del lo, cnt
+            self._device_index = index
+        except BaseException as exc:  # noqa: BLE001 — re-raised on access
+            self._device_exc = exc
+        finally:
+            self._device_ready.set()
 
     @property
     def profiler(self) -> PhaseProfiler:
@@ -287,11 +338,32 @@ class Reader:
     @property
     def _index(self) -> DeviceIndex:
         if self._device_index is None:
+            if self._bg_thread is not None:
+                self._device_ready.wait()
+                if self._device_exc is not None:
+                    raise RuntimeError(
+                        'background device index load failed'
+                    ) from self._device_exc
+                return self._device_index  # type: ignore[return-value]
             with self._prof.phase('device-load'):
-                self._device_index = DeviceIndex(
-                    self._chunks, mode=self._index_mode
-                )
+                self._device_index = self._build_device_index()
         return self._device_index
+
+    @property
+    def device_ready(self) -> bool:
+        """True once queries are served by the device index (False while a
+        background load is still deriving/warming — queries are answered by
+        the native host path in the meantime)."""
+        if self._bg_thread is None:
+            return self._device_index is not None
+        return self._device_ready.is_set() and self._device_exc is None
+
+    def wait_device_ready(self, timeout: typing.Optional[float] = None) -> bool:
+        """Block until the background device load finishes (returns
+        ``device_ready``; immediately True for synchronous loads)."""
+        if self._bg_thread is not None:
+            self._device_ready.wait(timeout)
+        return self.device_ready
 
     @property
     def row_tables(self) -> typing.List[LineTable]:
@@ -329,6 +401,11 @@ class Reader:
             uniq_list = list(uniq)
             uniq_results = self._search_batch(uniq_list)
             return [uniq_results[uniq[p]] for p in patterns]
+        if self._bg_thread is not None and not self.device_ready:
+            # Device index still deriving/warming (or failed): serve from
+            # the host path over the container's per-chunk SAs.
+            with self._prof.phase('host-serve'):
+                return self._search_host_chunks(patterns)
         out: typing.List[typing.List[str]] = [[] for _ in patterns]
         long_idx = [
             i for i, p in enumerate(patterns)
@@ -431,15 +508,17 @@ class Reader:
                 host_est < dev_est or total * 4 > self._READBACK_CAP
             )
         if not use_host:
-            pos_d, qid_d = search_ops.gather_hits_flat(
-                idx.sa[r], jnp.asarray(lo_r), jnp.asarray(cnt_r), total
-            )
-            pos = np.asarray(pos_d).astype(np.int64)
-            qid = np.asarray(qid_d).astype(np.int64)
+            with self._prof.phase('x-dev-gather'):
+                pos_d, qid_d = search_ops.gather_hits_flat(
+                    idx.sa[r], jnp.asarray(lo_r), jnp.asarray(cnt_r), total
+                )
+                pos = np.asarray(pos_d).astype(np.int64)
+                qid = np.asarray(qid_d).astype(np.int64)
             valid = qid >= 0
             pos, qid = pos[valid], qid[valid]
             pos, qid = self._drop_crossings(r, packed, lengths, pos, qid)
-            return table.lines_for_positions(qid, pos)
+            with self._prof.phase('x-dev-lines'):
+                return table.lines_for_positions(qid, pos)
         # Host route: per source chunk, native bisection + host SA gather +
         # the WHOLE line pipeline (dedup, decode, materialize).  Lines are
         # chunk-local (every chunk ends with \n), so per-chunk dedup equals
@@ -450,9 +529,11 @@ class Reader:
         def one(j_c):
             j, c = j_c
             chunk = self._chunks[c]
+            t0 = time.perf_counter()
             lo_c, cnt_c = native_ops.probe_batch_native(
                 chunk.data, chunk.suffix_array, packed, lengths
             )
+            t1 = time.perf_counter()
             cnt_c = np.maximum(cnt_c.astype(np.int64), 0)
             seg = np.repeat(np.arange(cnt_c.size, dtype=np.int64), cnt_c)
             firsts = np.cumsum(cnt_c) - cnt_c
@@ -461,14 +542,22 @@ class Reader:
                 + np.arange(int(cnt_c.sum()), dtype=np.int64)
             )
             pos = chunk.suffix_array[offs].astype(np.int64)
-            return table.lines_for_positions(
+            t2 = time.perf_counter()
+            lines = table.lines_for_positions(
                 seg, pos + int(idx.group_offsets[r][j])
             )
+            t3 = time.perf_counter()
+            return lines, (t1 - t0, t2 - t1, t3 - t2)
 
         with ThreadPoolExecutor(
             max_workers=min(8, os.cpu_count() or 1)
         ) as pool:
-            per_chunk = list(pool.map(one, list(enumerate(group))))
+            results = list(pool.map(one, list(enumerate(group))))
+        per_chunk = [res for res, _ in results]
+        for _, (tp, tg, tl) in results:
+            self._prof.add('x-host-probe', tp)
+            self._prof.add('x-host-gather', tg)
+            self._prof.add('x-host-lines', tl)
         merged: typing.Dict[int, typing.List[str]] = {}
         for per in per_chunk:
             for b, lines in per.items():
@@ -504,6 +593,63 @@ class Reader:
         )
         keep = ~crosses
         return pos[keep], qid[keep]
+
+    def _chunk_table(self, c: int) -> LineTable:
+        table = self._chunk_tables.get(c)
+        if table is None:
+            table = self._chunk_tables[c] = LineTable(self._chunks[c].data)
+        return table
+
+    def _search_host_chunks(
+        self, patterns: typing.List[bytes]
+    ) -> typing.List[typing.List[str]]:
+        """Host-only search straight off the container: native (or python)
+        bisection over each source chunk's on-disk SA plus per-chunk line
+        extraction — no device index required.  This is the serving path
+        while a background device load is in flight; semantics match the
+        reference exactly (per-chunk search + line-offset dedup,
+        src/lib.rs:201-287)."""
+        out: typing.List[typing.List[str]] = [[] for _ in patterns]
+        if not patterns:
+            return out
+        stride = max(1, max(len(p) for p in patterns))
+        packed = np.zeros((len(patterns), stride), dtype=np.uint8)
+        plens = np.zeros(len(patterns), dtype=np.int32)
+        for i, p in enumerate(patterns):
+            packed[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+            plens[i] = len(p)
+        use_native = native_available_for_probe()
+
+        def one(c: int) -> typing.Dict[int, typing.List[str]]:
+            chunk = self._chunks[c]
+            if use_native:
+                from .ops import native as native_ops
+
+                lo_c, cnt_c = native_ops.probe_batch_native(
+                    chunk.data, chunk.suffix_array, packed, plens
+                )
+            else:
+                data = chunk.data.tobytes()
+                lo_c = np.zeros(len(patterns), dtype=np.int64)
+                cnt_c = np.zeros(len(patterns), dtype=np.int64)
+                for b, pat in enumerate(patterns):
+                    lo_c[b], cnt_c[b] = search_ops.host_probe_bounds(
+                        data, chunk.suffix_array, pat
+                    )
+            return self._chunk_table(c).extract_lines_batch(
+                chunk.suffix_array, lo_c, cnt_c
+            )
+
+        workers = min(len(self._chunks), max(os.cpu_count() or 1, 1))
+        if workers > 1:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                per_chunk = list(pool.map(one, range(len(self._chunks))))
+        else:
+            per_chunk = [one(c) for c in range(len(self._chunks))]
+        for per in per_chunk:
+            for b, lines in per.items():
+                out[b].extend(lines)
+        return out
 
     def _search_host(
         self, patterns: typing.List[bytes]

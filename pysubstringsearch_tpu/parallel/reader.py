@@ -49,16 +49,12 @@ class ShardedReader(Reader):
             chunks = container.read_chunks(index_file_path)
         self._init_from_chunks(chunks, prof, index_mode)
 
-    @property
-    def _index(self) -> DeviceIndex:
-        if self._device_index is None:
-            with self._prof.phase('device-load'):
-                self._device_index = DeviceIndex(
-                    self._chunks,
-                    mode=self._index_mode,
-                    sharding=chunk_sharding(self.mesh),
-                )
-        return self._device_index
+    def _build_device_index(self) -> DeviceIndex:
+        return DeviceIndex(
+            self._chunks,
+            mode=self._index_mode,
+            sharding=chunk_sharding(self.mesh),
+        )
 
     # Introspection kept for tools/tests: padded row count and real rows.
     @property
