@@ -543,21 +543,32 @@ class Reader:
             )
             pos = chunk.suffix_array[offs].astype(np.int64)
             t2 = time.perf_counter()
-            lines = table.lines_for_positions(
+            spans = table.spans_for_positions(
                 seg, pos + int(idx.group_offsets[r][j])
             )
             t3 = time.perf_counter()
-            return lines, (t1 - t0, t2 - t1, t3 - t2)
+            return spans, (t1 - t0, t2 - t1, t3 - t2)
 
+        # Two-stage pipeline: the probe + numpy span stages release the GIL
+        # and run pooled; str materialization is GIL-bound (object creation
+        # cannot parallelize), so it runs serially on this thread in chunk
+        # order, overlapping chunk j's materialize with chunk j+1's numpy.
+        # The prior shape — whole pipeline per pooled thread — made the
+        # GIL-bound half FIGHT the numpy threads for cycles: measured
+        # 0.75 M lines/s aggregate vs 1.6 M single-thread at bench scale.
+        per_chunk = []
         with ThreadPoolExecutor(
             max_workers=min(8, os.cpu_count() or 1)
         ) as pool:
-            results = list(pool.map(one, list(enumerate(group))))
-        per_chunk = [res for res, _ in results]
-        for _, (tp, tg, tl) in results:
-            self._prof.add('x-host-probe', tp)
-            self._prof.add('x-host-gather', tg)
-            self._prof.add('x-host-lines', tl)
+            futures = [pool.submit(one, jc) for jc in enumerate(group)]
+            for f in futures:
+                spans, (tp, tg, ts) = f.result()
+                self._prof.add('x-host-probe', tp)
+                self._prof.add('x-host-gather', tg)
+                self._prof.add('x-host-spans', ts)
+                t0 = time.perf_counter()
+                per_chunk.append(table.materialize_spans(spans))
+                self._prof.add('x-host-lines', time.perf_counter() - t0)
         merged: typing.Dict[int, typing.List[str]] = {}
         for per in per_chunk:
             for b, lines in per.items():

@@ -127,8 +127,21 @@ class LineTable:
         the back half of :meth:`extract_lines_batch`, also fed directly by
         the Reader's device flat-gather readback and the native host-probe
         route."""
+        return self.materialize_spans(self.spans_for_positions(seg, positions))
+
+    def spans_for_positions(
+        self,
+        seg: np.ndarray,
+        positions: np.ndarray,
+    ) -> typing.Optional[tuple]:
+        """Numpy-only front half of :meth:`lines_for_positions`: dedup and
+        group flat (query, position) hits into distinct line spans plus the
+        fan-out plan.  Releases the GIL for its duration (pure numpy), so
+        callers can run it for several chunks concurrently and feed the
+        GIL-bound :meth:`materialize_spans` serially — object creation
+        cannot parallelize under the GIL, but this half can."""
         if positions.size == 0:
-            return {}
+            return None
         seg = np.asarray(seg, dtype=np.int64)
         ids = self.line_ids(positions)
         key = seg * np.int64(self.num_lines + 1) + ids
@@ -152,6 +165,16 @@ class LineTable:
         gstart = np.concatenate(([0], bounds)).astype(np.int64)
         gstop = np.concatenate((bounds, [uniq.size])).astype(np.int64)
         qid = useg[gstart].astype(np.int64)
+        return starts, ends, inv, gstart, gstop, qid
+
+    def materialize_spans(
+        self, spans: typing.Optional[tuple]
+    ) -> typing.Dict[int, typing.List[str]]:
+        """GIL-bound back half: decode each distinct line span once and fan
+        the str objects out into per-query lists."""
+        if spans is None:
+            return {}
+        starts, ends, inv, gstart, gstop, qid = spans
         from . import native as native_ops
 
         fx = native_ops.fastext()
@@ -169,7 +192,7 @@ class LineTable:
                 np.ascontiguousarray(qid),
             )
         big = self._data_bytes
-        obj = np.empty(dist.size, dtype=object)
+        obj = np.empty(starts.size, dtype=object)
         obj[:] = [
             big[s:e].decode('utf-8', errors='surrogateescape')
             for s, e in zip(starts.tolist(), ends.tolist())
