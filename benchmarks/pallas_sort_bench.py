@@ -43,22 +43,32 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def force(out):
+    """Force completion observably: a one-element D2H readback.  On this
+    remote-attach runtime ``block_until_ready`` can return before device
+    completion, so timings must end on a readback (see microbench.py)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.asarray(leaf).ravel()[0])
+
+
 def slope(fn, reps=4):
-    """Warm wall-clock per call via the dispatch-slope method (bench.py)."""
-    out = fn()
-    jax.block_until_ready(out)
+    """Warm wall-clock per call via the dispatch-slope method (bench.py):
+    the constant readback transport cancels between the 1-rep and K-rep
+    timings; calls on one stream serialize, so forcing the last forces all."""
+    force(fn())
 
     def run_k(k):
         t0 = time.time()
         o = None
         for _ in range(k):
             o = fn()
-        jax.block_until_ready(o)
+        force(o)
         return time.time() - t0
 
-    t1 = min(run_k(1) for _ in range(2))
-    tk = min(run_k(reps + 1) for _ in range(2))
-    return (tk - t1) / reps
+    run_k(reps + 1)  # steady-state
+    t1 = min(run_k(1) for _ in range(3))
+    tk = min(run_k(reps + 1) for _ in range(3))
+    return max((tk - t1) / reps, 1e-9)
 
 
 TILE = 8192
@@ -68,8 +78,11 @@ def pallas_scatter(values, dests):
     """Per-element scatter values[i] -> out[dests[i]], tile-at-a-time.
 
     Each grid step loads a TILE of (value, dest) into VMEM and issues TILE
-    dynamic single-element stores into the HBM-resident output — exactly the
-    inner loop of a radix-sort distribution pass.
+    dynamic single-element stores into a VMEM-resident output block — the
+    inner loop of a radix-sort distribution pass, measured at a size whose
+    output fits VMEM (stores to HBM/ANY refs are rejected by Mosaic; a real
+    HBM-sized pass would additionally pay per-element async copies, so the
+    VMEM number is a LOWER bound on the radix pass's cost).
     """
     n = values.shape[0]
 
@@ -87,7 +100,7 @@ def pallas_scatter(values, dests):
             pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n,), jnp.int32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(values, dests)
@@ -113,11 +126,17 @@ def main():
     log(f'XLA scatter {n >> 20} Mi: {t * 1e3:.1f} ms '
         f'({n / t / 1e6:.0f} M elem/s)')
 
+    # Pallas at a VMEM-fitting size (1 Mi int32 out = 4 MB); per-element
+    # cost extrapolates linearly and only grows for an HBM-sized pass.
+    pn = 1 << 20
+    pvals = vals[:pn]
+    pdests = jnp.asarray(rng.permutation(pn).astype(np.int32))
     try:
         pk = jax.jit(pallas_scatter)
-        t = slope(lambda: pk(vals, dests))
-        log(f'Pallas per-element scatter {n >> 20} Mi: {t * 1e3:.1f} ms '
-            f'({n / t / 1e6:.0f} M elem/s)')
+        t = slope(lambda: pk(pvals, pdests))
+        log(f'Pallas per-element scatter {pn >> 20} Mi (VMEM-resident): '
+            f'{t * 1e3:.1f} ms ({pn / t / 1e6:.0f} M elem/s; '
+            f'x{n // pn} -> {t * (n // pn) * 1e3:.0f} ms per {n >> 20} Mi pass)')
     except Exception as e:  # Mosaic rejections count as a result here
         log(f'Pallas per-element scatter: FAILED TO LOWER: {type(e).__name__}: {e}')
 
