@@ -16,6 +16,7 @@ src/lib.rs:268-270).  We emulate it by placing the virtual terminator at
 
 from __future__ import annotations
 
+import threading
 import typing
 
 import numpy as np
@@ -25,11 +26,6 @@ __all__ = ['LineTable']
 
 class LineTable:
     """Per-chunk newline index enabling O(log L) position -> line lookup."""
-
-    #: Hit counts at or above this build the O(n) position->line lookup
-    #: table: a direct int32 gather resolves line ids ~5x faster than
-    #: searchsorted at bench scale (measured), for 4 bytes/char of host RAM.
-    _TABLE_MIN_HITS = 1 << 20
 
     def __init__(self, data: np.ndarray) -> None:
         assert data.dtype == np.uint8
@@ -41,6 +37,8 @@ class LineTable:
             nl = np.append(nl, data.size - 1)
         self.nl = nl
         self._line_of: typing.Optional[np.ndarray] = None
+        self._lock = threading.Lock()
+        self._hits_served = 0
 
     @property
     def num_lines(self) -> int:
@@ -52,18 +50,31 @@ class LineTable:
         A position sitting exactly on a ``\\n`` byte belongs to the line that
         terminator ends — matching the reference's forward-scan-from-self
         (src/lib.rs:265-267).
+
+        Route: ``searchsorted`` costs ~220 ns/hit at bench scale; the O(n)
+        direct-gather table costs ~10 ns/hit but ~32 ns/char to BUILD (8.7 s
+        for a 272 MiB row on this host — measured).  The table is built
+        lazily only once the CUMULATIVE hits served justify its build cost
+        (~n/8 hits), under a lock: concurrent pooled span stages must not
+        each pay the build.
         """
-        if positions.size >= self._TABLE_MIN_HITS and self.num_lines:
+        if self.num_lines == 0:
+            return np.searchsorted(self.nl, positions, side='left')
+        if self._line_of is None:
+            with self._lock:
+                self._hits_served += positions.size
+                build = self._hits_served >= self.data.size // 8
+                if build and self._line_of is None:
+                    mark = np.zeros(self.data.size, dtype=np.int32)
+                    mark[self.nl[:-1] + 1] = 1
+                    self._line_of = np.cumsum(mark, dtype=np.int32)
             if self._line_of is None:
-                mark = np.zeros(self.data.size, dtype=np.int32)
-                mark[self.nl[:-1] + 1] = 1
-                self._line_of = np.cumsum(mark, dtype=np.int32)
-            # Clip: positions past the last terminator (possible only via
-            # the foreign-container quirk) belong to the final line.
-            return self._line_of[
-                np.minimum(positions, self._line_of.size - 1)
-            ].astype(np.int64)
-        return np.searchsorted(self.nl, positions, side='left')
+                return np.searchsorted(self.nl, positions, side='left')
+        # Clip: positions past the last terminator (possible only via
+        # the foreign-container quirk) belong to the final line.
+        return self._line_of[
+            np.minimum(positions, self._line_of.size - 1)
+        ].astype(np.int64)
 
     def line_span(self, line_id: int) -> typing.Tuple[int, int]:
         start = int(self.nl[line_id - 1]) + 1 if line_id > 0 else 0
