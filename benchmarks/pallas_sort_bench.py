@@ -82,7 +82,14 @@ def pallas_scatter(values, dests):
     inner loop of a radix-sort distribution pass, measured at a size whose
     output fits VMEM (stores to HBM/ANY refs are rejected by Mosaic; a real
     HBM-sized pass would additionally pay per-element async copies, so the
-    VMEM number is a LOWER bound on the radix pass's cost).
+    VMEM number would be a LOWER bound on the radix pass's cost).
+
+    In practice (pallas_sort_results.json, measured on the v5e chip) Mosaic
+    rejects even this VMEM variant — scalar dynamic stores to a VMEM ref do
+    not lower — so the except branch below recording the rejection is the
+    EXPECTED outcome and the extrapolated lower-bound log line never runs.
+    The committed result file's 'error' field is that Mosaic message; no
+    measured scatter number was ever produced on hardware.
     """
     n = values.shape[0]
 

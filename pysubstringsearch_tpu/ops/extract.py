@@ -38,6 +38,7 @@ class LineTable:
         self.nl = nl
         self._line_of: typing.Optional[np.ndarray] = None
         self._lock = threading.Lock()
+        self._building = False
         self._hits_served = 0
 
     @property
@@ -60,20 +61,41 @@ class LineTable:
         """
         if self.num_lines == 0:
             return np.searchsorted(self.nl, positions, side='left')
-        if self._line_of is None:
+        # Snapshot once: the reference is published under the lock below but
+        # read here without it (safe under the GIL; the snapshot also keeps
+        # the rest of this method race-free on free-threaded builds).
+        table = self._line_of
+        if table is None:
+            build = False
             with self._lock:
                 self._hits_served += positions.size
-                build = self._hits_served >= self.data.size // 8
-                if build and self._line_of is None:
-                    mark = np.zeros(self.data.size, dtype=np.int32)
-                    mark[self.nl[:-1] + 1] = 1
-                    self._line_of = np.cumsum(mark, dtype=np.int32)
-            if self._line_of is None:
+                if (
+                    self._hits_served >= self.data.size // 8
+                    and self._line_of is None
+                    and not self._building
+                ):
+                    # Claim the build but run it OUTSIDE the lock: the O(n)
+                    # cumsum takes seconds for a reference-scale row, and
+                    # holding the lock would stall every concurrent pooled
+                    # caller for the duration — they fall back to
+                    # searchsorted until the table is published.
+                    self._building = True
+                    build = True
+            if build:
+                mark = np.zeros(self.data.size, dtype=np.int32)
+                mark[self.nl[:-1] + 1] = 1
+                table = np.cumsum(mark, dtype=np.int32)
+                with self._lock:
+                    self._line_of = table
+                    self._building = False
+            else:
+                table = self._line_of
+            if table is None:
                 return np.searchsorted(self.nl, positions, side='left')
         # Clip: positions past the last terminator (possible only via
         # the foreign-container quirk) belong to the final line.
-        return self._line_of[
-            np.minimum(positions, self._line_of.size - 1)
+        return table[
+            np.minimum(positions, table.size - 1)
         ].astype(np.int64)
 
     def line_span(self, line_id: int) -> typing.Tuple[int, int]:
