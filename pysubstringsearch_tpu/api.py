@@ -257,8 +257,9 @@ class Reader:
     def __init__(self, index_file_path: str, *, index_mode: str = 'auto') -> None:
         prof = PhaseProfiler()
         with prof.phase('load-container'):
-            chunks = container.read_chunks(index_file_path)
-        self._init_from_chunks(chunks, prof, index_mode)
+            cont = container.read_container(index_file_path)
+        self._container: typing.Optional[container.MappedContainer] = cont
+        self._init_from_chunks(cont.chunks, prof, index_mode)
 
     def _init_from_chunks(
         self,
@@ -266,6 +267,8 @@ class Reader:
         prof: typing.Optional[PhaseProfiler] = None,
         index_mode: str = 'auto',
     ) -> None:
+        if not hasattr(self, '_container'):
+            self._container = None  # from_chunks path: no backing mmap
         self._chunks = chunks
         self._prof = prof if prof is not None else PhaseProfiler()
         self._index_mode = os.environ.get('TPUSS_INDEX_MODE', index_mode)

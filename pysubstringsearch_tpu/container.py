@@ -37,6 +37,10 @@ class Chunk:
     #: Suffix array over ``data``: int32 [n], sorted byte-wise with the
     #: shorter-suffix-first (prefix-is-less) convention.
     suffix_array: np.ndarray  # int32 [n]
+    #: Byte offset of ``data`` within its container file (-1 when the chunk
+    #: does not come from a mapped container).  Lets extraction address all
+    #: chunks of one file through a single flat buffer (global coordinates).
+    text_offset: int = -1
 
     def __post_init__(self) -> None:
         assert self.data.dtype == np.uint8
@@ -60,49 +64,77 @@ def write_chunk(
     fobj.write(suffix_array.astype('<i4', copy=False).tobytes())
 
 
-def read_chunks(index_file_path: str) -> typing.List[Chunk]:
-    """Parse the whole container greedily until EOF (src/lib.rs:174-196).
+@dataclasses.dataclass
+class MappedContainer:
+    """A parsed container whose chunk arrays are views into one mmap.
 
-    Unlike the reference — which leaves the SA on disk and seeks per probe —
-    we load both text and SA: the TPU design keeps both resident in device
-    memory, so there is nothing to gain from lazy SA reads on the host side.
+    The reference Reader loads chunk text into RAM and *seeks past the SA
+    without reading it* (src/lib.rs:179-182) — host RAM ~= corpus size.  The
+    mapped load goes further: NOTHING is read eagerly (only the 8-byte
+    headers are touched during the parse), text and SA pages fault in on
+    first use and stay evictable, so a 7.5 GB index opens in milliseconds
+    and steady-state residency is only what queries actually touch.
+    """
+
+    path: str
+    #: uint8 view over the whole file (zero-length for an empty container).
+    buf: np.ndarray
+    chunks: typing.List[Chunk]
+
+
+def read_container(index_file_path: str) -> MappedContainer:
+    """Parse the container headers and return mmap-backed chunks.
+
+    Greedy until EOF like the reference loop (src/lib.rs:174-196).  Each
+    chunk's ``data`` / ``suffix_array`` is a zero-copy view into the file
+    mapping (the SA view is generally 4-byte *unaligned* — fine for numpy
+    gathers and the native kernels' scalar loads on every supported host).
 
     Raises ``FileNotFoundError`` for a missing path (parity with the Rust
     ``File::open`` error surfaced through PyO3) and ``ValueError`` for a
     truncated / malformed container (the reference panics; we return a typed
     error per SURVEY.md §5.3).
     """
-    chunks: typing.List[Chunk] = []
     file_len = os.path.getsize(index_file_path)
-    with open(index_file_path, 'rb') as fobj:
-        bytes_read = 0
-        while bytes_read < file_len:
-            header = fobj.read(4)
-            if len(header) != 4:
-                raise ValueError('truncated index container: bad text header')
-            (data_len,) = _U32.unpack(header)
-            data = fobj.read(data_len)
-            if len(data) != data_len:
-                raise ValueError('truncated index container: short text chunk')
-            header = fobj.read(4)
-            if len(header) != 4:
-                raise ValueError('truncated index container: bad SA header')
-            (sa_bytes,) = _U32.unpack(header)
-            if sa_bytes % 4 != 0:
-                raise ValueError('malformed index container: SA length not a multiple of 4')
-            sa_raw = fobj.read(sa_bytes)
-            if len(sa_raw) != sa_bytes:
-                raise ValueError('truncated index container: short suffix array')
-            chunks.append(
-                Chunk(
-                    data=np.frombuffer(data, dtype=np.uint8),
-                    suffix_array=np.frombuffer(sa_raw, dtype='<i4').astype(
-                        np.int32, copy=False
-                    ),
-                )
+    if file_len == 0:
+        return MappedContainer(
+            path=index_file_path, buf=np.zeros(0, dtype=np.uint8), chunks=[]
+        )
+    mm = np.memmap(index_file_path, dtype=np.uint8, mode='r')
+    chunks: typing.List[Chunk] = []
+    off = 0
+    while off < file_len:
+        if off + 4 > file_len:
+            raise ValueError('truncated index container: bad text header')
+        (data_len,) = _U32.unpack(mm[off: off + 4])
+        off += 4
+        if off + data_len > file_len:
+            raise ValueError('truncated index container: short text chunk')
+        text_offset = off
+        data = mm[off: off + data_len]
+        off += data_len
+        if off + 4 > file_len:
+            raise ValueError('truncated index container: bad SA header')
+        (sa_bytes,) = _U32.unpack(mm[off: off + 4])
+        off += 4
+        if sa_bytes % 4 != 0:
+            raise ValueError(
+                'malformed index container: SA length not a multiple of 4'
             )
-            bytes_read += 8 + data_len + sa_bytes
-    return chunks
+        if off + sa_bytes > file_len:
+            raise ValueError('truncated index container: short suffix array')
+        sa = mm[off: off + sa_bytes].view('<i4')
+        off += sa_bytes
+        chunks.append(
+            Chunk(data=data, suffix_array=sa, text_offset=text_offset)
+        )
+    return MappedContainer(path=index_file_path, buf=mm, chunks=chunks)
+
+
+def read_chunks(index_file_path: str) -> typing.List[Chunk]:
+    """Chunk list of :func:`read_container` (compatibility surface; the
+    arrays are lazy mmap views — see MappedContainer)."""
+    return read_container(index_file_path).chunks
 
 
 #: Rust RawVec's smallest non-zero capacity for 1-byte elements; part of the

@@ -30,7 +30,10 @@ class LineTable:
     def __init__(self, data: np.ndarray) -> None:
         assert data.dtype == np.uint8
         self.data = data
-        self._data_bytes = data.tobytes()
+        # Zero-copy view of the text (mmap-backed chunks must not be
+        # duplicated into RAM — reference memory parity, src/lib.rs:175-177);
+        # every consumer takes slices via the buffer protocol.
+        self._data_bytes = memoryview(data)
         nl = np.flatnonzero(data == 0x0A).astype(np.int64)
         if data.size and (nl.size == 0 or nl[-1] != data.size - 1):
             # Foreign container without trailing terminator: reference quirk.
@@ -104,7 +107,7 @@ class LineTable:
 
     def line_bytes(self, line_id: int) -> bytes:
         start, end = self.line_span(line_id)
-        return self._data_bytes[start:end]
+        return bytes(self._data_bytes[start:end])
 
     def line_str(self, line_id: int) -> str:
         # The reference returns the raw bytes reinterpreted as str without
@@ -227,7 +230,7 @@ class LineTable:
         big = self._data_bytes
         obj = np.empty(starts.size, dtype=object)
         obj[:] = [
-            big[s:e].decode('utf-8', errors='surrogateescape')
+            bytes(big[s:e]).decode('utf-8', errors='surrogateescape')
             for s, e in zip(starts.tolist(), ends.tolist())
         ]
         vals = obj[inv]
