@@ -37,11 +37,13 @@
 // (src/lib.rs:224-228).
 
 #include <algorithm>
+#include <atomic>
 #include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #if defined(__linux__)
@@ -725,5 +727,189 @@ i32 tpuss_find_newlines(const uint8_t* data, i32 n, i32* out, i32 cap) {
     }
   }
   return count;
+}
+}
+
+namespace {
+
+// The container's mmap'd suffix-array views are 4-byte unaligned (each SA
+// record starts right after an arbitrary-length text block); read through
+// memcpy so the access is well-defined (compiles to a plain mov on x86).
+static inline i32 ld32u(const i32* p) {
+  i32 v;
+  std::memcpy(&v, p, sizeof(v));
+  return v;
+}
+
+// One (chunk, pattern) lower/upper-bound pair.  Same comparison convention
+// as tpuss_probe_batch (mirroring the reference Reader's binary searches,
+// src/lib.rs:212-252) plus the upper-bound seeding the reference applies
+// with its left_anchor reuse (src/lib.rs:235-252): every lower-bound
+// iteration that observed a suffix STRICTLY greater than the pattern is a
+// valid right edge for the upper-bound search, so a miss finishes after one
+// bisection and a hit's second bisection spans only the candidate range.
+static inline void probe_one(const uint8_t* data, i32 n, const i32* sa,
+                             const uint8_t* P, i32 L, i32* lo_out,
+                             i32* cnt_out) {
+  i32 lo = 0, hi = n, ub_hi = n;
+  while (lo < hi) {
+    i32 mid = lo + (hi - lo) / 2;
+    i32 pos = ld32u(sa + mid);
+    i32 avail = n - pos;
+    i32 k = avail < L ? avail : L;
+    int c = std::memcmp(data + pos, P, static_cast<size_t>(k));
+    if (c < 0 || (c == 0 && avail < L)) {
+      lo = mid + 1;
+    } else {
+      hi = mid;
+      if (c > 0) ub_hi = mid;
+    }
+  }
+  i32 lower = lo;
+  hi = ub_hi;
+  while (lo < hi) {
+    i32 mid = lo + (hi - lo) / 2;
+    i32 pos = ld32u(sa + mid);
+    i32 avail = n - pos;
+    i32 k = avail < L ? avail : L;
+    int c = std::memcmp(data + pos, P, static_cast<size_t>(k));
+    if (c > 0)
+      hi = mid;
+    else
+      lo = mid + 1;
+  }
+  *lo_out = lower;
+  *cnt_out = lo - lower;
+}
+
+// Run `work(unit)` over [0, units) on up to nthreads threads.  Units are
+// handed out in contiguous blocks (locality: consecutive units share a
+// chunk's text/SA working set); small workloads run inline — a thread spawn
+// costs ~20 us, which would dominate single-query latency.
+template <typename F>
+static void run_units(int64_t units, i32 nthreads, int64_t block, F work) {
+  int T = nthreads;
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  if (hw > 0 && T > hw) T = hw;
+  if (T > units) T = static_cast<int>(units);
+  if (T <= 1 || units <= block) {
+    for (int64_t u = 0; u < units; ++u) work(u);
+    return;
+  }
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t u0 = next.fetch_add(block, std::memory_order_relaxed);
+      if (u0 >= units) return;
+      int64_t u1 = u0 + block < units ? u0 + block : units;
+      for (int64_t u = u0; u < u1; ++u) work(u);
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(static_cast<size_t>(T) - 1);
+  for (int t = 1; t < T; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched probe over MANY host-resident chunks at once: the serving twin of
+// the reference Reader's rayon fan-out (src/lib.rs:207-252), one call for
+// the whole (chunk x pattern) grid.  datas/ns/sas describe nchunks chunks
+// (SA pointers may be 4-byte unaligned mmap views); pats is [B, stride]
+// zero-padded row-major.  Writes lo_out/cnt_out as [nchunks, B] row-major.
+// nthreads > 1 fans (chunk, pattern) blocks across a transient pool; pass 1
+// for latency-bound single queries.
+i32 tpuss_probe_multi(i32 nchunks, const uint8_t* const* datas, const i32* ns,
+                      const i32* const* sas, const uint8_t* pats,
+                      const i32* lens, i32 stride, i32 B, i32* lo_out,
+                      i32* cnt_out, i32 nthreads) {
+  if (nchunks < 0 || B < 0 || stride < 0) return -1;
+  for (i32 b = 0; b < B; ++b)
+    if (lens[b] > stride) return -2;
+  int64_t units = static_cast<int64_t>(nchunks) * B;
+  run_units(units, nthreads, 256, [&](int64_t u) {
+    i32 c = static_cast<i32>(u / B);
+    i32 b = static_cast<i32>(u % B);
+    probe_one(datas[c], ns[c], sas[c], pats + static_cast<size_t>(b) * stride,
+              lens[b], lo_out + u, cnt_out + u);
+  });
+  return 0;
+}
+
+// Resolve probe hits to DEDUPLICATED line spans, in global container
+// coordinates.  For each (chunk, pattern) cell of lo/cnt ([nchunks, B]
+// row-major, as produced by tpuss_probe_multi): gather the SA slice, walk
+// each hit to its line start (backward memrchr — the reference's FinderRev,
+// src/lib.rs:262-270), dedup by line-start offset (the reference's AHashSet
+// on start offsets, src/lib.rs:271-277), and emit (start, end) pairs with
+// text_offs[c] added so every span indexes one flat file buffer.  Spans for
+// cell u are written at spans_out[2*out_base[u]] ascending; out_cnt[u] gets
+// the deduplicated span count (<= cnt[u], so out_base = exclusive prefix
+// sums of cnt always fits).  A chunk whose text lacks a trailing newline
+// truncates its final line's last byte (reference quirk, src/lib.rs:268-270).
+i32 tpuss_extract_spans(i32 nchunks, const uint8_t* const* datas,
+                        const i32* ns, const i32* const* sas,
+                        const int64_t* text_offs, const i32* lo,
+                        const i32* cnt, i32 B, const int64_t* out_base,
+                        int64_t* spans_out, i32* out_cnt, i32 nthreads) {
+  if (nchunks < 0 || B < 0) return -1;
+  int64_t units = static_cast<int64_t>(nchunks) * B;
+  // Thread by hit VOLUME, not unit count: a single frequent pattern is few
+  // units but much work, while a light batch isn't worth two thread spawns
+  // (~20 us each).  block=1 keeps both cores busy across skewed cells.
+  int64_t total_hits = 0;
+  for (int64_t u = 0; u < units; ++u)
+    if (cnt[u] > 0) total_hits += cnt[u];
+  i32 T = total_hits >= 2048 ? nthreads : 1;
+  int64_t block = units > 1024 ? 16 : 1;
+  std::atomic<i32> rc(0);
+  run_units(units, T, block, [&](int64_t u) {
+    i32 c = static_cast<i32>(u / B);
+    const uint8_t* d = datas[c];
+    i32 n = ns[c];
+    const i32* sa = sas[c];
+    i32 l = lo[u], k = cnt[u];
+    if (k <= 0 || n <= 0) {
+      out_cnt[u] = 0;
+      return;
+    }
+    if (l < 0 || l > n - k) {  // defensive: corrupt bounds -> no hits
+      out_cnt[u] = 0;
+      rc.store(1, std::memory_order_relaxed);
+      return;
+    }
+    std::vector<i32> starts;
+    starts.reserve(static_cast<size_t>(k));
+    for (i32 i = 0; i < k; ++i) {
+      i32 pos = ld32u(sa + l + i);
+      if (pos < 0 || pos >= n) {
+        rc.store(1, std::memory_order_relaxed);
+        continue;
+      }
+      const void* p = pos > 0 ? memrchr(d, '\n', static_cast<size_t>(pos))
+                              : nullptr;
+      starts.push_back(
+          p ? static_cast<i32>(static_cast<const uint8_t*>(p) - d) + 1 : 0);
+    }
+    std::sort(starts.begin(), starts.end());
+    starts.erase(std::unique(starts.begin(), starts.end()), starts.end());
+    int64_t* out = spans_out + 2 * out_base[u];
+    int64_t off = text_offs[c];
+    i32 m = 0;
+    for (i32 s : starts) {
+      const void* q = memchr(d + s, '\n', static_cast<size_t>(n - s));
+      i32 e = q ? static_cast<i32>(static_cast<const uint8_t*>(q) - d)
+                : n - 1;
+      out[2 * m] = off + s;
+      out[2 * m + 1] = off + e;
+      ++m;
+    }
+    out_cnt[u] = m;
+  });
+  return rc.load() ? -3 : 0;
 }
 }

@@ -270,6 +270,8 @@ class Reader:
         if not hasattr(self, '_container'):
             self._container = None  # from_chunks path: no backing mmap
         self._chunks = chunks
+        self._hostserve_obj = None
+        self._hostserve_tried = False
         self._prof = prof if prof is not None else PhaseProfiler()
         self._index_mode = os.environ.get('TPUSS_INDEX_MODE', index_mode)
         self._device_index: typing.Optional[DeviceIndex] = None
@@ -387,6 +389,23 @@ class Reader:
     #: magnitude (env TPUSS_READBACK_CAP).
     _READBACK_CAP = int(os.environ.get('TPUSS_READBACK_CAP', str(4 << 20)))
 
+    @property
+    def _host_serving(self):
+        """Persistent native serving state (ops/hostserve.py) over the
+        container mmap, or None when the native kernels / flat buffer are
+        unavailable.  Built once; pointer tables live as long as the
+        Reader (the reference's SubIndex registration,
+        src/lib.rs:186-195)."""
+        if not self._hostserve_tried:
+            self._hostserve_tried = True
+            if self._container is not None:
+                from .ops.hostserve import HostServing
+
+                self._hostserve_obj = HostServing.maybe(
+                    self._chunks, self._container.buf
+                )
+        return self._hostserve_obj
+
     def _search_batch(self, patterns: typing.List[bytes]) -> typing.List[typing.List[str]]:
         """Per-pattern result lists, each in row-major order.
 
@@ -448,6 +467,22 @@ class Reader:
         packed, lengths = search_ops.pack_patterns(patterns)
         with self._prof.phase('probe'):
             lo, cnt = idx.probe(packed, lengths)
+        hs = self._host_serving
+        if hs is not None and not idx.merged and idx.num_chunks == len(
+            self._chunks
+        ):
+            # Singleton geometry: probe rows ARE container chunks, so the
+            # device bounds feed the native span extraction directly — no
+            # re-probe, one materialize over the flat file buffer.
+            with self._prof.phase('extract'):
+                return hs.extract(lo, cnt)
+        if hs is not None and idx.merged and self._host_extract_all(cnt):
+            # Every merged row would take the host extraction route (slow
+            # link / huge readback): the whole batch is answered fastest by
+            # the fused native pipeline over the container chunks, whose
+            # per-chunk search needs no crossing filter.
+            with self._prof.phase('extract'):
+                return hs.search(patterns)
         with self._prof.phase('extract'):
             # One vectorized extraction per row; rows run serially — the
             # host route inside already parallelizes across source chunks,
@@ -459,6 +494,28 @@ class Reader:
                 for b, lines in per.items():
                     out[b].extend(lines)
         return out
+
+    def _host_extract_all(self, cnt: np.ndarray) -> bool:
+        """True when every probe row's extraction would route to the native
+        host bisection (same cost model as :meth:`_extract_row`): readback
+        over budget or host re-probe cheaper than the device flat-gather."""
+        from .ops import native as native_ops
+        from .ops.suffix_array import host_device_link_mbps
+
+        if not native_ops.probe_batch_available():
+            return False
+        idx = self._index
+        _, d2h = host_device_link_mbps()
+        B = cnt.shape[1]
+        for r in range(idx.num_chunks):
+            if len(idx.groups[r]) <= 1:
+                continue  # singleton rows are cheap either way
+            total = int(np.maximum(cnt[r], 0).sum())
+            host_est = B * len(idx.groups[r]) * 17e-6
+            dev_est = 0.03 + total * 4 / max(d2h * 1e6, 1e-9)
+            if not (host_est < dev_est or total * 4 > self._READBACK_CAP):
+                return False
+        return True
 
     def _extract_row(
         self,
@@ -626,6 +683,9 @@ class Reader:
         out: typing.List[typing.List[str]] = [[] for _ in patterns]
         if not patterns:
             return out
+        hs = self._host_serving
+        if hs is not None:
+            return hs.search(patterns)
         stride = max(1, max(len(p) for p in patterns))
         packed = np.zeros((len(patterns), stride), dtype=np.uint8)
         plens = np.zeros(len(patterns), dtype=np.int32)
@@ -671,6 +731,9 @@ class Reader:
         """Exact host-side search (any pattern length): native batched
         bisection per source chunk when available, scalar python bisection
         otherwise.  Used for patterns beyond the device window margin."""
+        hs = self._host_serving
+        if hs is not None:
+            return hs.search(patterns)
         idx = self._index
         out: typing.List[typing.List[str]] = [[] for _ in patterns]
         stride = max(1, max(len(p) for p in patterns))

@@ -43,7 +43,7 @@ def _build() -> typing.Optional[str]:
         return so
     cmd = [
         'g++', '-O3', '-std=c++17', '-shared', '-fPIC', '-march=native',
-        '-o', so, src,
+        '-pthread', '-o', so, src,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
@@ -107,6 +107,36 @@ def _load() -> typing.Optional[ctypes.CDLL]:
                 ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int32),
+            ]
+        if hasattr(lib, 'tpuss_probe_multi'):
+            lib.tpuss_probe_multi.restype = ctypes.c_int32
+            lib.tpuss_probe_multi.argtypes = [
+                ctypes.c_int32,                        # nchunks
+                ctypes.POINTER(ctypes.c_void_p),       # datas
+                ctypes.POINTER(ctypes.c_int32),        # ns
+                ctypes.POINTER(ctypes.c_void_p),       # sas
+                ctypes.POINTER(ctypes.c_uint8),        # pats
+                ctypes.POINTER(ctypes.c_int32),        # lens
+                ctypes.c_int32,                        # stride
+                ctypes.c_int32,                        # B
+                ctypes.POINTER(ctypes.c_int32),        # lo_out
+                ctypes.POINTER(ctypes.c_int32),        # cnt_out
+                ctypes.c_int32,                        # nthreads
+            ]
+            lib.tpuss_extract_spans.restype = ctypes.c_int32
+            lib.tpuss_extract_spans.argtypes = [
+                ctypes.c_int32,                        # nchunks
+                ctypes.POINTER(ctypes.c_void_p),       # datas
+                ctypes.POINTER(ctypes.c_int32),        # ns
+                ctypes.POINTER(ctypes.c_void_p),       # sas
+                ctypes.POINTER(ctypes.c_int64),        # text_offs
+                ctypes.POINTER(ctypes.c_int32),        # lo
+                ctypes.POINTER(ctypes.c_int32),        # cnt
+                ctypes.c_int32,                        # B
+                ctypes.POINTER(ctypes.c_int64),        # out_base
+                ctypes.POINTER(ctypes.c_int64),        # spans_out
+                ctypes.POINTER(ctypes.c_int32),        # out_cnt
+                ctypes.c_int32,                        # nthreads
             ]
         _LIB = lib
         return _LIB
