@@ -190,10 +190,13 @@ class HostServing:
         gstop = gstop[nz]
         qid = nz.astype(np.int64)
         fx = native_ops.fastext()
-        if fx is not None:
-            per = fx.materialize(
+        if fx is not None and hasattr(fx, 'materialize_dedup'):
+            # Hash-deduplicated decode: each distinct line becomes ONE str
+            # object per batch no matter how many queries hit it (the numpy
+            # unique+inverse equivalent costs an argsort — measured ~8 s at
+            # 22M entries; the hash pass is one sweep).
+            per = fx.materialize_dedup(
                 self._buf_view, starts, ends,
-                np.arange(total, dtype=np.int64),
                 np.ascontiguousarray(gstart),
                 np.ascontiguousarray(gstop), np.ascontiguousarray(qid),
             )
