@@ -320,6 +320,12 @@ class Reader:
                 probe_lens = np.full((8,), 4, dtype=np.int32)
                 lo, cnt = index.probe(probe_pats, probe_lens)
                 del lo, cnt
+            # Pre-pay the one-time link-rate probe while the tunnel is idle
+            # (it routes extraction; measuring it mid-derive would
+            # under-report, and lazily it would tax the first real query).
+            from .ops.suffix_array import host_device_link_mbps
+
+            host_device_link_mbps()
             self._device_index = index
         except BaseException as exc:  # noqa: BLE001 — re-raised on access
             self._device_exc = exc

@@ -664,29 +664,51 @@ def host_device_link_mbps() -> typing.Tuple[float, float]:
     PCIe; this environment's remote-attach tunnel measures ~5-12 MB/s H2D
     and ~1-5 MB/s D2H, which caps any build-with-readback at ~1 MB/s.
 
-    A remote-attach platform (``JAX_PLATFORMS=axon``) is assumed slow without
-    measuring — the probe itself would cost seconds there.  CPU backends are
-    "infinitely fast" (no transfer exists).
+    Rates are MEASURED (one transfer each way at first use, cached for the
+    process): remote-attach platforms (``JAX_PLATFORMS=axon``) probe with a
+    small payload sized for their slow tunnel (~0.6 s once), others with
+    4 MB.  ``TPUSS_LINK_MBPS=h2d,d2h`` overrides without measuring (also the
+    escape hatch for deployments where the first-use probe is unwanted).
+    CPU backends are "infinitely fast" (no transfer exists).
     """
     global _LINK_RATES
     if _LINK_RATES is None:
+        import logging
         import time
 
+        override = os.environ.get('TPUSS_LINK_MBPS')
+        if override:
+            h2d_s, d2h_s = override.split(',')
+            _LINK_RATES = (float(h2d_s), float(d2h_s))
+            return _LINK_RATES
         if jax.default_backend() == 'cpu':
             _LINK_RATES = (float('inf'), float('inf'))
-        elif 'axon' in os.environ.get('JAX_PLATFORMS', ''):
-            _LINK_RATES = (10.0, 2.0)
         else:
-            mb = 4.0
-            x = np.zeros(int(mb * 1e6), dtype=np.uint8)
+            remote = 'axon' in os.environ.get('JAX_PLATFORMS', '')
+            up_mb = 1.0 if remote else 4.0
+            down_mb = 0.5 if remote else 4.0
+            # Throwaway tiny round trip first: the remote tunnel pays a
+            # large ONE-TIME warm-up on its first readback (measured ~100 s
+            # here) that must not contaminate the steady-state rate — any
+            # real serving flow pays it exactly once anyway.
+            np.asarray(jax.device_put(np.zeros(1024, dtype=np.uint8)))
+            x = np.zeros(int(up_mb * 1e6), dtype=np.uint8)
             t0 = time.perf_counter()
             d = jax.device_put(x)
             d.block_until_ready()
-            h2d = mb / max(time.perf_counter() - t0, 1e-9)
+            h2d = up_mb / max(time.perf_counter() - t0, 1e-9)
+            # Separate device_put for the downlink probe: slicing `d` would
+            # compile a program (~tens of seconds through a remote tunnel).
+            dd = jax.device_put(np.zeros(int(down_mb * 1e6), dtype=np.uint8))
+            dd.block_until_ready()
             t0 = time.perf_counter()
-            np.asarray(d)
-            d2h = mb / max(time.perf_counter() - t0, 1e-9)
-            _LINK_RATES = (h2d, d2h)
+            np.asarray(dd)
+            d2h = down_mb / max(time.perf_counter() - t0, 1e-9)
+            _LINK_RATES = (max(h2d, 0.1), max(d2h, 0.1))
+            logging.getLogger('pysubstringsearch_tpu').info(
+                'measured host<->device link: %.1f MB/s up, %.1f MB/s down',
+                *_LINK_RATES,
+            )
     return _LINK_RATES
 
 
