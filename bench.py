@@ -257,6 +257,7 @@ def main():
     log('reader phases: ' + r.profiler.report().replace(chr(10), ' | '))
 
     # ---- small-batch serving latency (end-to-end, lines materialized) ----
+    small_lat = {}
     for b in (1, 16, 256):
         sub = pats_set[:b]
         r.search_multiple(sub)  # warm any new class shapes
@@ -266,8 +267,30 @@ def main():
             r.search_multiple(sub)
             ts.append(time.time() - t0)
         lat = sorted(ts)[len(ts) // 2]
+        small_lat[b] = lat
         log(f'small-batch B={b}: {lat * 1e3:.1f} ms end-to-end '
             f'({lat / b * 1e6:.0f} us/query)')
+
+    # ---- single-query hit / miss latency (reference README.md:48-51) ----
+    hit_pat = pats_set[0]
+    ts = []
+    for _ in range(50):
+        t0 = time.time()
+        hit_lines = r.search(hit_pat)
+        ts.append(time.time() - t0)
+    b1_hit = sorted(ts)[len(ts) // 2]
+    miss_pats = [f'zzqqzzqqx{i}' for i in range(100)]
+    for m in miss_pats[:10]:
+        r.search(m)
+    ts = []
+    for m in miss_pats:
+        t0 = time.time()
+        r.search(m)
+        ts.append(time.time() - t0)
+    b1_miss = sorted(ts)[len(ts) // 2]
+    log(f'single query: hit p50 {b1_hit * 1e6:.0f} us '
+        f'({len(hit_lines)} lines), miss p50 {b1_miss * 1e6:.1f} us '
+        f'(reference publishes 497 us / 14.9 us, README.md:48-51)')
 
     # Reference equivalent: 497 us/query sequential (README.md:48-49).
     ref_10k = nq * 497e-6
@@ -280,7 +303,9 @@ def main():
     if build_s is not None:
         log(f'extras: build_mbps={build_mbps:.2f} ttfq_s={ttfq:.1f} '
             f'device_ready_s={device_ready_s:.1f} '
-            f'e2e_batch_s={e2e_s:.2f} total_wall={time.time() - t_start:.1f}s')
+            f'e2e_batch_s={e2e_s:.2f} '
+            f'b1_hit_us={b1_hit * 1e6:.0f} b1_miss_us={b1_miss * 1e6:.1f} '
+            f'total_wall={time.time() - t_start:.1f}s')
     print(json.dumps(result), flush=True)
 
 
@@ -288,4 +313,12 @@ if __name__ == '__main__':
     if len(sys.argv) > 1 and sys.argv[1] == '--build':
         build_main(sys.argv[2], sys.argv[3], int(sys.argv[4]))
     else:
+        if os.environ.get('PYTHONMALLOC') != 'malloc':
+            # Line materialization allocates GBs of short-lived str objects;
+            # obmalloc arena churn at that volume measures ~10% slower than
+            # the system allocator (ARCHITECTURE.md), so re-exec once with
+            # the documented tuning before any work happens.
+            os.environ['PYTHONMALLOC'] = 'malloc'
+            os.execv(sys.executable,
+                     [sys.executable, os.path.abspath(__file__)] + sys.argv[1:])
         main()

@@ -42,6 +42,7 @@ from . import container
 from .models.index import DeviceIndex
 from .ops import search as search_ops
 from .ops.extract import LineTable
+from .ops.hostserve import HOST_PROBE_UNIT_S
 from .utils.profiling import PhaseProfiler
 from .ops.suffix_array import build_suffix_array
 
@@ -462,11 +463,13 @@ class Reader:
         if native_available_for_probe():
             # Tiny batches: the device probe's fixed dispatch+readback
             # round trip can exceed the whole native host bisection (e.g.
-            # a remote-attach link's ~25 ms RTT vs ~17 us per query-chunk).
+            # a remote-attach link's ~25 ms RTT vs ~5 us per query-chunk).
             from .ops.suffix_array import device_rtt_estimate
 
             host_est = (
-                len(patterns) * max(idx.num_source_chunks, 1) * 17e-6
+                len(patterns)
+                * max(idx.num_source_chunks, 1)
+                * HOST_PROBE_UNIT_S
             )
             if host_est < device_rtt_estimate():
                 return self._search_host(patterns)
@@ -517,7 +520,7 @@ class Reader:
             if len(idx.groups[r]) <= 1:
                 continue  # singleton rows are cheap either way
             total = int(np.maximum(cnt[r], 0).sum())
-            host_est = B * len(idx.groups[r]) * 17e-6
+            host_est = B * len(idx.groups[r]) * HOST_PROBE_UNIT_S
             dev_est = 0.03 + total * 4 / max(d2h * 1e6, 1e-9)
             if not (host_est < dev_est or total * 4 > self._READBACK_CAP):
                 return False
@@ -560,15 +563,15 @@ class Reader:
 
         # Route by estimated cost: the device flat-gather pays a readback of
         # 4 bytes/hit plus a round trip (and, cold, one compile per size
-        # bucket); the native host bisection pays ~17 us per (query, source
-        # chunk) of CPU.  On a slow remote-attach link the host route wins
+        # bucket); the native host bisection pays ~5 us per (query, source
+        # chunk) of CPU (HOST_PROBE_UNIT_S).  On a slow remote-attach link the host route wins
         # at every batch size; on co-located PCIe the device route wins for
         # all but tiny batches.
         use_host = False
         if native_ops.probe_batch_available():
             _, d2h = host_device_link_mbps()
             B = packed.shape[0]
-            host_est = B * len(idx.groups[r]) * 17e-6
+            host_est = B * len(idx.groups[r]) * HOST_PROBE_UNIT_S
             dev_est = 0.03 + total * 4 / max(d2h * 1e6, 1e-9)
             use_host = (
                 host_est < dev_est or total * 4 > self._READBACK_CAP

@@ -33,7 +33,12 @@ import numpy as np
 from . import native as native_ops
 from ..container import Chunk
 
-__all__ = ['HostServing', 'pack_patterns_host']
+__all__ = ['HostServing', 'pack_patterns_host', 'HOST_PROBE_UNIT_S']
+
+#: Wall seconds per (query, chunk) cell of a threaded tpuss_probe_multi call
+#: — the routing cost model's host-probe constant (measured ~4-5 us on this
+#: host's 64 MiB chunks at bench scale; env TPUSS_HOST_PROBE_US overrides).
+HOST_PROBE_UNIT_S = float(os.environ.get('TPUSS_HOST_PROBE_US', '5')) * 1e-6
 
 
 def pack_patterns_host(

@@ -655,7 +655,7 @@ _JAX_MIN_N = 1 << 16  # below this, host numpy beats device dispatch overhead
 _LINK_RATES: typing.Optional[typing.Tuple[float, float]] = None
 
 
-def host_device_link_mbps() -> typing.Tuple[float, float]:
+def host_device_link_mbps(probe: bool = True) -> typing.Tuple[float, float]:
     """(H2D, D2H) bandwidth in MB/s, measured once per process.
 
     The container build is host IO: a device SA build must ship the text up
@@ -670,6 +670,11 @@ def host_device_link_mbps() -> typing.Tuple[float, float]:
     4 MB.  ``TPUSS_LINK_MBPS=h2d,d2h`` overrides without measuring (also the
     escape hatch for deployments where the first-use probe is unwanted).
     CPU backends are "infinitely fast" (no transfer exists).
+
+    ``probe=False`` never transfers: it returns the cached measurement when
+    one exists, else conservative per-platform defaults — for SHORT-LIVED
+    processes (a build subprocess routing its SA backend) where the
+    one-time tunnel warm-up would cost more than the decision is worth.
     """
     global _LINK_RATES
     if _LINK_RATES is None:
@@ -683,6 +688,10 @@ def host_device_link_mbps() -> typing.Tuple[float, float]:
             return _LINK_RATES
         if jax.default_backend() == 'cpu':
             _LINK_RATES = (float('inf'), float('inf'))
+        elif not probe:
+            if 'axon' in os.environ.get('JAX_PLATFORMS', ''):
+                return (10.0, 5.0)  # uncached: measure when next allowed
+            return (1000.0, 1000.0)  # co-located PCIe ballpark
         else:
             remote = 'axon' in os.environ.get('JAX_PLATFORMS', '')
             up_mb = 1.0 if remote else 4.0
@@ -735,7 +744,7 @@ def device_rtt_estimate() -> float:
 def _device_build_worthwhile(n: int) -> bool:
     """Estimate whether text-up + device sort + SA-down beats the host SA-IS
     for an n-byte chunk."""
-    h2d, d2h = host_device_link_mbps()
+    h2d, d2h = host_device_link_mbps(probe=False)
     mb = n / 1e6
     device_s = mb / h2d + mb / _DEVICE_BUILD_MBPS + 4.0 * mb / d2h
     native_s = mb / _NATIVE_BUILD_MBPS
