@@ -307,6 +307,12 @@ def main():
             f'b1_hit_us={b1_hit * 1e6:.0f} b1_miss_us={b1_miss * 1e6:.1f} '
             f'total_wall={time.time() - t_start:.1f}s')
     print(json.dumps(result), flush=True)
+    sys.stderr.flush()
+    # Skip interpreter/C++ teardown: the remote-attach runtime's exit-time
+    # thread teardown intermittently aborts the process (a pre-existing
+    # environment race, reproduced on round-3 code too) — all output is
+    # flushed, so exit hard with success.
+    os._exit(0)
 
 
 if __name__ == '__main__':

@@ -46,8 +46,11 @@ class ShardedReader(Reader):
         self.mesh = mesh if mesh is not None else make_mesh()
         prof = PhaseProfiler()
         with prof.phase('load-container'):
-            chunks = container.read_chunks(index_file_path)
-        self._init_from_chunks(chunks, prof, index_mode)
+            cont = container.read_container(index_file_path)
+        # Keep the mmap handle: host-side serving/extraction uses the same
+        # flat-buffer native pipeline as the plain Reader.
+        self._container = cont
+        self._init_from_chunks(cont.chunks, prof, index_mode)
 
     def _build_device_index(self) -> DeviceIndex:
         return DeviceIndex(
