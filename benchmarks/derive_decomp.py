@@ -78,26 +78,45 @@ def main():
     plane = search_ops.derive_limb_ranked_jit(depth, bits)
     tlen = base ** depth + 1
     C = plan.num_chunks
-    tables = jnp.zeros((C, tlen), jnp.int32)
-    limbs = jnp.zeros((C, n_pad * plan.num_limbs), jnp.int32)
     set_row = search_ops.set_row_jit()
 
+    # Mirror _init_derive's HBM pass discipline exactly: the stacked limb
+    # planes (4 * num_limbs * n_pad per row) are NOT allocated until every
+    # row's SA-build scratch has come and gone — allocating them up front
+    # OOMs the 16 GB chip at 2 x 272 Mi rows (measured: this script's
+    # previous shape died in pass 1).
+    texts = jnp.zeros((C, n_pad), jnp.uint8)
+    sas = jnp.zeros((C, n_pad), jnp.int32)
     for i, d in enumerate(plan.row_data):
         row = np.zeros((n_pad,), dtype=np.uint8)
         row[: d.size] = d
         n_i = jnp.int32(d.size)
         t = timed('h2d-text', lambda: jnp.asarray(row))
+        texts = set_row(texts, jnp.int32(i), t)
         sa_p = timed('sa-derive', lambda: derive_sa(t, n_i))
-        sa = sa_p[0]
+        sas = set_row(sas, jnp.int32(i), sa_p[0])
+        del t, sa_p
+    tables = jnp.zeros((C, tlen), jnp.int32)
+    for i, d in enumerate(plan.row_data):
+        n_i = jnp.int32(d.size)
         tables = timed('table', lambda: table_into(
-            tables, jnp.int32(i), t, n_i, sa, rank_d))
-        packed0 = timed('pack0', lambda: pack0(t, n_i, rank_d))
+            tables, jnp.int32(i), texts[i], n_i, sas[i], rank_d))
+    packed = []
+    for i, d in enumerate(plan.row_data):
+        n_i = jnp.int32(d.size)
+        packed0 = timed('pack0', lambda: pack0(texts[i], n_i, rank_d))
         if plan.h_pad > 0:
-            timed('hot-aux', lambda: hot_aux(tables[i], packed0, sa, n_i))
-        src = packed0
+            timed('hot-aux', lambda: hot_aux(
+                tables[i], packed0, sas[i], n_i))
+        del packed0
+    limbs = jnp.zeros((C, n_pad * plan.num_limbs), jnp.int32)
+    for i, d in enumerate(plan.row_data):
+        n_i = jnp.int32(d.size)
+        src = timed('pack0', lambda: pack0(texts[i], n_i, rank_d))
         for j in range(plan.num_limbs):
             limbs = timed(f'limb{j}', lambda: plane(
-                limbs, jnp.int32(i), jnp.int32(j), src, n_i, sa))
+                limbs, jnp.int32(i), jnp.int32(j), src, n_i, sas[i]))
+        del src
     total = sum(stage.values())
     log(f'TOTAL {total:.1f}s')
     for k, v in sorted(stage.items(), key=lambda kv: -kv[1]):

@@ -310,13 +310,14 @@ class Reader:
         return DeviceIndex(self._chunks, mode=self._index_mode)
 
     def _bg_load(self) -> None:
+        index = None
         try:
             with self._prof.phase('device-load'):
                 index = self._build_device_index()
             with self._prof.phase('device-warm'):
-                # Force the async derive tail (limb/table/aux programs
-                # execute lazily on remote-attach platforms) so "ready"
-                # means steady-state-fast, not first-probe-pays-the-tail.
+                # Force the async derive tail (limb/table programs execute
+                # lazily on remote-attach platforms) so "ready" means
+                # steady-state-fast, not first-probe-pays-the-tail.
                 probe_pats = np.full((8, 4), ord('e'), dtype=np.uint8)
                 probe_lens = np.full((8,), 4, dtype=np.int32)
                 lo, cnt = index.probe(probe_pats, probe_lens)
@@ -332,6 +333,26 @@ class Reader:
             self._device_exc = exc
         finally:
             self._device_ready.set()
+        if (
+            index is not None
+            and self._device_exc is None
+            and os.environ.get('TPUSS_AUX_EAGER', '0') == '1'
+        ):
+            # Opt-in: attach the deferred hot-bucket aux tables right after
+            # readiness.  Off by default — the ~72 s aux build would queue
+            # AHEAD of the first real probes on the serial device stream,
+            # and the aux-free ladder already meets the serving targets
+            # (measured; see ARCHITECTURE.md).
+            try:
+                with self._prof.phase('device-aux'):
+                    index.build_aux()
+                    if index.aux is not None:
+                        probe_pats = np.full((8, 4), ord('e'), np.uint8)
+                        index.probe(
+                            probe_pats, np.full((8,), 4, np.int32)
+                        )
+            except Exception:
+                pass  # aux is an accelerator; serving continues without it
 
     @property
     def profiler(self) -> PhaseProfiler:

@@ -187,6 +187,8 @@ class DeviceIndex:
             )
             self.limbs = jnp.zeros((0, 8), jnp.int32)
             self.h_pad = 0
+            self.hot_id = None
+            self.aux = None
             rank, pres_i = search_ops.identity_rank()
             self.rank = jnp.asarray(rank)
             self.present = jnp.asarray(pres_i)
@@ -225,6 +227,10 @@ class DeviceIndex:
             if self.kind == 'ranked' and search_ops.AUX_TH > 0
             else 0
         )
+        #: Hot-bucket aux arrays; None until built (upload/sharded modes
+        #: build inline, single-device derive defers to :meth:`build_aux`).
+        self.hot_id = None
+        self.aux = None
         if _plan_only:
             return
         if mode == 'derive':
@@ -402,73 +408,71 @@ class DeviceIndex:
         # Pass 1 — text upload + device SA per row (a row is the merged
         # concatenation of its group's source chunks; the SA of the merged
         # text is derived directly — no host SA for it ever exists).
+        # Poison flags are checked only AFTER every row has dispatched:
+        # for single-dispatch rows (<= 384 Mi) the flag is a host constant
+        # and for rotating rows a device scalar, so deferring the bool()
+        # keeps the whole pass async — row i+1's H2D upload streams while
+        # row i's derive executes instead of serializing on a readback.
         texts = jnp.zeros((C, n_pad), jnp.uint8)
         sas = jnp.zeros((C, n_pad), jnp.int32)
+        pois = []
         for i, d in enumerate(self.row_data):
             row = np.zeros((n_pad,), dtype=np.uint8)
             row[: d.size] = d
             t = jnp.asarray(row)
             texts = set_row(texts, jnp.int32(i), t)
             sa, poisoned = derive_sa(t, jnp.int32(d.size))
-            if bool(poisoned):  # adversarial input: full-sort fallback
-                del sa
-                sa = search_ops.derive_sa_full_jit()(t, jnp.int32(d.size))
             sas = set_row(sas, jnp.int32(i), sa)
+            pois.append(poisoned)
             del t, sa
-        # Pass 2 — seed tables, then hot-bucket aux, then limb planes, in
-        # that order: the aux builder's transients (~7 row-size int32
-        # streams) and the limb planes' resident footprint must never be
-        # live together (measured OOM at 2 x 272 Mi rows when aux built
-        # after the limb buffer existed).
+        for i, poisoned in enumerate(pois):
+            if bool(poisoned):  # adversarial input: full-sort fallback
+                d = self.row_data[i]
+                row = np.zeros((n_pad,), dtype=np.uint8)
+                row[: d.size] = d
+                sa = search_ops.derive_sa_full_jit()(
+                    jnp.asarray(row), jnp.int32(d.size)
+                )
+                sas = set_row(sas, jnp.int32(i), sa)
+                del sa
+        # Pass 2 — seed tables + limb planes.  Each row's digit stream is
+        # packed ONCE and feeds both the table (ranked kinds: one gather +
+        # scatter-min, derive_table_from_pack_jit) and every limb plane (a
+        # dynamic-offset gather per plane, one compiled program total).
+        # The hot-bucket aux tables are NOT built here: their builder costs
+        # as much as half the SA derive (measured ~36 s per 272 Mi row) and
+        # the probe runs correctly without them — build_aux() attaches them
+        # later without blocking readiness.
         tables = jnp.zeros((C, self._base ** self._depth + 1), jnp.int32)
         if self.kind in ('ranked', 'raw'):
-            table_into = search_ops.derive_table_raw_jit(self._base, depth)
-            for i, d in enumerate(self.row_data):
-                tables = table_into(
-                    tables, jnp.int32(i), texts[i], jnp.int32(d.size),
-                    sas[i], self.rank,
-                )
-            if self.h_pad > 0:
-                set_row2 = search_ops.set_row_jit()
-                hot_aux = search_ops.derive_hot_aux_jit(
-                    search_ops.AUX_TH, self.h_pad, self._depth, self._bits
-                )
-                pack0 = search_ops.ranked_pack_jit(self._bits)
-                tlen = self._base ** self._depth + 1
-                hots = jnp.zeros((C, tlen - 1), jnp.int32)
-                auxs = jnp.zeros(
-                    (C, self.h_pad * search_ops.AUX_STRIDE), jnp.int32
-                )
-                for i, d in enumerate(self.row_data):
-                    n_i = jnp.int32(d.size)
-                    h_i, a_i = hot_aux(
-                        tables[i], pack0(texts[i], n_i, self.rank),
-                        sas[i], n_i,
-                    )
-                    hots = set_row2(hots, jnp.int32(i), h_i)
-                    auxs = set_row2(auxs, jnp.int32(i), a_i)
-                    del h_i, a_i
-                self.hot_id = hots
-                self.aux = auxs
-            # Pack each chunk's digit stream once (small-transient program),
-            # then every plane is ONE dynamic-offset gather from it — a
-            # single compiled program regardless of plane count.
             limbs = jnp.zeros((C, n_pad * self.num_limbs), jnp.int32)
             if self.kind == 'ranked':
                 pack = search_ops.ranked_pack_jit(self._bits)
                 plane_into = search_ops.derive_limb_ranked_jit(
                     depth, self._bits
                 )
+                table_from_pack = search_ops.derive_table_from_pack_jit(
+                    self._base, depth, self._bits
+                )
             else:
                 pack = search_ops.raw_pack_jit(depth)
                 plane_into = search_ops.derive_limb_raw_jit(depth)
+                table_into = search_ops.derive_table_raw_jit(
+                    self._base, depth
+                )
             for i, d in enumerate(self.row_data):
                 n_i = jnp.int32(d.size)
                 t_i, sa_i = texts[i], sas[i]
-                src = (
-                    pack(t_i, n_i, self.rank)
-                    if self.kind == 'ranked' else pack(t_i, n_i)
-                )
+                if self.kind == 'ranked':
+                    src = pack(t_i, n_i, self.rank)
+                    tables = table_from_pack(
+                        tables, jnp.int32(i), src, n_i, sa_i
+                    )
+                else:
+                    src = pack(t_i, n_i)
+                    tables = table_into(
+                        tables, jnp.int32(i), t_i, n_i, sa_i, self.rank
+                    )
                 for j in range(self.num_limbs):
                     limbs = plane_into(
                         limbs, jnp.int32(i), jnp.int32(j), src, n_i, sa_i
@@ -488,6 +492,46 @@ class DeviceIndex:
         self.sa = sas
         self.limbs = limbs
         self.tables = tables
+
+    def build_aux(self) -> None:
+        """Build the DEFERRED hot-bucket aux tables (single-device derive
+        mode; no-op when already present, disabled, or inapplicable).
+
+        The adaptive-shift aux blocks accelerate probes into very wide
+        seed buckets but cost ~36 s per 272 Mi row to construct — deferred
+        out of the readiness path, the index serves probes through the
+        aux-free executables and switches to the aux ladder when this
+        completes (probe_device_parts snapshots the aux state per call, so
+        the flip is safe mid-serving).
+        """
+        if (
+            self.h_pad <= 0
+            or self.aux is not None
+            or self.kind != 'ranked'
+            or self.num_chunks == 0
+            or self.mode != 'derive'
+        ):
+            return
+        set_row = search_ops.set_row_jit()
+        hot_aux = search_ops.derive_hot_aux_jit(
+            search_ops.AUX_TH, self.h_pad, self._depth, self._bits
+        )
+        pack0 = search_ops.ranked_pack_jit(self._bits)
+        tlen = self._base ** self._depth + 1
+        C = self.num_chunks
+        hots = jnp.zeros((C, tlen - 1), jnp.int32)
+        auxs = jnp.zeros((C, self.h_pad * search_ops.AUX_STRIDE), jnp.int32)
+        for i, d in enumerate(self.row_data):
+            n_i = jnp.int32(d.size)
+            h_i, a_i = hot_aux(
+                self.tables[i], pack0(self.text[i], n_i, self.rank),
+                self.sa[i], n_i,
+            )
+            hots = set_row(hots, jnp.int32(i), h_i)
+            auxs = set_row(auxs, jnp.int32(i), a_i)
+            del h_i, a_i
+        self.hot_id = hots
+        self.aux = auxs  # published last: aux_active() keys off this
 
     def _init_derive_sharded(self, n_pad, depth):
         """Derive with mesh placement: each row's SA/limbs/tables build on
@@ -650,19 +694,25 @@ class DeviceIndex:
         patterns = np.asarray(patterns)
         lengths = np.asarray(lengths)
         spec, flat = self._group_batch(patterns, lengths)
+        # Snapshot the aux state ONCE per call: the deferred build_aux()
+        # may publish aux mid-serving from another thread; either ladder
+        # answers correctly, but one call must not mix operand sets.
+        aux = self.aux if self.h_pad > 0 else None
+        hot_id = self.hot_id if aux is not None else None
+        h_pad = self.h_pad if aux is not None else 0
         if self.sharding is not None:
             # Sharded operands: let jit propagate the mesh placement (AOT
             # executables are lowered without shardings).
             parts = []
             for (Bk, width, deep), (idx, sub, sub_len) in zip(spec, flat):
                 probe = search_ops.phased_batch_jit(
-                    deep, self.num_limbs, self._bits, self.h_pad > 0,
+                    deep, self.num_limbs, self._bits, h_pad > 0,
                     uniform_long=width > self._depth,
                 )
                 ops = (self.text, self.lengths, self.sa, self.tables,
                        self.limbs)
-                if self.h_pad > 0:
-                    ops += (self.hot_id, self.aux)
+                if h_pad > 0:
+                    ops += (hot_id, aux)
                 lo_k, cnt_k = probe(
                     *ops, self.rank, self.present, sub, sub_len
                 )
@@ -674,7 +724,7 @@ class DeviceIndex:
         table_len = self._base ** self._depth + 1
         keys = [
             (self.num_limbs, self._bits, deep, self.num_chunks, self.n_pad,
-             table_len, self.h_pad, Bk, width)
+             table_len, h_pad, Bk, width)
             for (Bk, width, deep) in spec
         ]
         search_ops.warm_phased_classes(keys)
@@ -683,8 +733,8 @@ class DeviceIndex:
             exe = search_ops.phased_class_exec(*key)
             ops = (self.text, self.lengths, self.sa, self.tables,
                    self.limbs)
-            if self.h_pad > 0:
-                ops += (self.hot_id, self.aux)
+            if h_pad > 0:
+                ops += (hot_id, aux)
             lo_k, cnt_k = exe(*ops, self.rank, self.present, sub, sub_len)
             parts.append((idx, lo_k, cnt_k))
         return parts
@@ -692,17 +742,23 @@ class DeviceIndex:
     def probe_class_keys(self, lengths: np.ndarray):
         """Executable-cache keys the given batch lengths will dispatch —
         feed to ops.search.warm_phased_classes to pre-compile (possible
-        from a geometry-only plan(), before any device array exists)."""
+        from a geometry-only plan(), before any device array exists).
+
+        With a deferred aux (h_pad > 0) BOTH ladders are returned: probes
+        dispatch aux-free executables until build_aux() publishes, then
+        switch — warming both keeps either path compile-free."""
         if self.kind == 'digit' or self.num_chunks == 0:
             return []
         table_len = self._base ** self._depth + 1
+        h_pads = {0, self.h_pad} if self.h_pad > 0 else {0}
         return [
             (self.num_limbs, self._bits, deep, self.num_chunks, self.n_pad,
-             table_len, self.h_pad, Bk, width)
+             table_len, hp, Bk, width)
             for (Bk, width, deep, _) in search_ops.class_spec(
                 np.asarray(lengths), self._depth, self._limb_bytes,
                 self.cover_bytes, self.num_limbs,
             )
+            for hp in sorted(h_pads)
         ]
 
     def warm_probe(self, lengths: np.ndarray, parallel: bool = True) -> None:

@@ -834,6 +834,39 @@ def derive_table_raw_jit(base: int, depth: int):
     return jax.jit(f, donate_argnums=(0,))
 
 
+@functools.lru_cache(maxsize=None)
+def derive_table_from_pack_jit(base: int, depth: int, bits: int):
+    """Seed table of chunk i from the ALREADY-PACKED rank stream.
+
+    For ranked encodings ``base == 1 << bits`` always holds
+    (pick_table_params and ranked_bits quantize to the same power of two),
+    so the first ``depth`` rank digits of suffix ``sa[slot]`` are just
+    ``packed[sa[slot]] >> ((D - depth) * bits)`` — the whole table build
+    reduces to one N-gather + scatter-min + reverse cummin.  Versus
+    re-deriving the digit stream (derive_table_raw_jit: depth shifted
+    N-streams + the same tail), this measured ~3x cheaper at 272 Mi rows,
+    and the derive load already materializes ``packed`` for the limb
+    planes — the table rides along free of extra passes.
+    """
+    D = ranked_limb_bytes(bits)
+    assert base == 1 << bits and depth <= D
+
+    def f(buf, i, packed, n, sa):
+        N = packed.shape[0]
+        n = jnp.asarray(n, jnp.int32)
+        iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
+        size = base ** depth + 1
+        key = jnp.take(packed, jnp.clip(sa, 0, N - 1)) >> (
+            (D - depth) * bits
+        )
+        b = jnp.where(iota < n, key, size - 1)
+        first = jnp.full((size,), N, jnp.int32).at[b].min(iota, mode='drop')
+        table = jnp.minimum(lax.cummin(first, reverse=True), n)
+        return lax.dynamic_update_slice(buf, table[None], (i, 0))
+
+    return jax.jit(f, donate_argnums=(0,))
+
+
 def alphabet_rank(present: np.ndarray):
     """(rank[256] int32, sigma) for a boolean present-bytes mask.
 

@@ -199,3 +199,61 @@ def test_native_probe_batch_matches_python_oracle():
     for i, p in enumerate(pats):
         wlo, wcnt = search_ops.host_probe_bounds(body, sa, p)
         assert (lo[i], cnt[i]) == (wlo, wcnt), p
+
+
+def test_deferred_aux_build_and_probe_parity(monkeypatch):
+    """Single-device derive defers the hot-bucket aux tables: probes answer
+    identically before build_aux() (aux-free executables) and after (aux
+    ladder) — models/index.py build_aux."""
+    monkeypatch.setenv('TPUSS_MERGE', '1')
+    monkeypatch.setenv('TPUSS_MERGE_CAP', '4096')
+    # Low threshold so the tiny corpus actually has hot buckets.
+    monkeypatch.setattr(search_ops, 'AUX_TH', 4)
+    chunks = _mk_chunks([_body(40, s) for s in range(4)])
+    idx = DeviceIndex(chunks, mode='derive')
+    if idx.kind != 'ranked' or idx.h_pad <= 0:
+        pytest.skip('geometry has no aux eligibility')
+    assert idx.aux is None  # deferred
+    pats = [WORDS[0], WORDS[3], WORDS[5][:2], b'zz', WORDS[1] + b' ']
+    packed, lens = pack_patterns(pats)
+    lo0, cnt0 = idx.probe(packed, lens)
+    idx.build_aux()
+    assert idx.aux is not None
+    lo1, cnt1 = idx.probe(packed, lens)
+    np.testing.assert_array_equal(cnt0, cnt1)
+    np.testing.assert_array_equal(lo0, lo1)
+    # idempotent
+    aux_ref = idx.aux
+    idx.build_aux()
+    assert idx.aux is aux_ref
+
+
+def test_table_from_pack_matches_raw_table():
+    """derive_table_from_pack_jit (one gather from the packed rank stream)
+    must equal derive_table_raw_jit (re-derived digit stream) — same seed
+    table both ways."""
+    import jax.numpy as jnp
+
+    chunks = _mk_chunks([_body(60, 9)])
+    idx = DeviceIndex.plan(chunks)
+    if idx.kind != 'ranked':
+        pytest.skip('corpus not ranked-eligible')
+    d = chunks[0].data
+    n_pad = idx.n_pad
+    row = np.zeros((n_pad,), dtype=np.uint8)
+    row[: d.size] = d
+    text = jnp.asarray(row)
+    n = jnp.int32(d.size)
+    sa_full = np.zeros((n_pad,), dtype=np.int32)
+    sa_full[: d.size] = chunks[0].suffix_array
+    sa = jnp.asarray(sa_full)
+    rank = jnp.asarray(idx._rank_host)
+    tlen = idx._base ** idx._depth + 1
+    raw = search_ops.derive_table_raw_jit(idx._base, idx._depth)(
+        jnp.zeros((1, tlen), jnp.int32), jnp.int32(0), text, n, sa, rank
+    )
+    src = search_ops.ranked_pack_jit(idx._bits)(text, n, rank)
+    fp = search_ops.derive_table_from_pack_jit(
+        idx._base, idx._depth, idx._bits
+    )(jnp.zeros((1, tlen), jnp.int32), jnp.int32(0), src, n, sa)
+    np.testing.assert_array_equal(np.asarray(raw), np.asarray(fp))
