@@ -309,8 +309,30 @@ class Reader:
         """Device-index construction hook (subclasses inject placement)."""
         return DeviceIndex(self._chunks, mode=self._index_mode)
 
+    @staticmethod
+    def _warm_tunnel_async() -> None:
+        """Start the remote-attach runtime's one-time D2H stream init on a
+        side thread.  The first readback of a process pays a large setup
+        (measured anywhere from 9 s to several hundred seconds on this
+        environment's tunnel) that is independent of queued device COMPUTE
+        — kicked off here, it runs concurrently with the derive programs
+        instead of serializing in front of the first probe's readback."""
+
+        def warm():
+            try:
+                import jax
+
+                np.asarray(jax.device_put(np.zeros(1024, dtype=np.uint8)))
+            except Exception:
+                pass
+
+        threading.Thread(
+            target=warm, name='tpuss-tunnel-warm', daemon=True
+        ).start()
+
     def _bg_load(self) -> None:
         index = None
+        self._warm_tunnel_async()
         try:
             with self._prof.phase('device-load'):
                 index = self._build_device_index()
