@@ -59,7 +59,7 @@ namespace {
 using i32 = int32_t;
 using u16 = uint16_t;
 
-constexpr i32 PFD = 32;  // prefetch lead for data-dependent reads
+constexpr i32 PFD = 64;  // prefetch lead for data-dependent reads
 
 // Phase timing to stderr when TPUSS_SA_PROFILE is set (diagnostic only).
 bool sa_profile() {
@@ -228,11 +228,14 @@ void sais_rec(SymT* st, i32* sa, i32 n, i32 K, i32* lms_buf, int level) {
   SaPhase ph_all("rec-total", level);
 
   // Type pass (right-to-left), folding the S bit into st in place.
-  st[n - 1] = static_cast<SymT>(st[n - 1] | TBIT);
-  for (i32 i = n - 2; i >= 0; --i) {
-    SymT a = st[i], b = st[i + 1];
-    if (a < (b & SMASK) || (a == (b & SMASK) && (b & TBIT)))
-      st[i] = static_cast<SymT>(a | TBIT);
+  {
+    SaPhase ph("r-typescan", level);
+    st[n - 1] = static_cast<SymT>(st[n - 1] | TBIT);
+    for (i32 i = n - 2; i >= 0; --i) {
+      SymT a = st[i], b = st[i + 1];
+      if (a < (b & SMASK) || (a == (b & SMASK) && (b & TBIT)))
+        st[i] = static_cast<SymT>(a | TBIT);
+    }
   }
 
   std::vector<i32> cnt(K, 0), bkt(K);
@@ -242,14 +245,20 @@ void sais_rec(SymT* st, i32* sa, i32 n, i32 K, i32* lms_buf, int level) {
   // LMS substrings in sorted order.
   i32* lms = lms_buf;
   i32 m = 0;
-  for (i32 i = 1; i < n; ++i)
-    if ((st[i] & TBIT) && !(st[i - 1] & TBIT)) lms[m++] = i;
-  std::fill(sa, sa + n, -1);
-  bucket_bounds(cnt.data(), bkt.data(), K, true);
-  for (i32 i = m - 1; i >= 0; --i) {
-    sa[--bkt[st[lms[i]] & SMASK]] = lms[i];
+  {
+    SaPhase ph("r-seed1", level);
+    for (i32 i = 1; i < n; ++i)
+      if ((st[i] & TBIT) && !(st[i - 1] & TBIT)) lms[m++] = i;
+    std::fill(sa, sa + n, -1);
+    bucket_bounds(cnt.data(), bkt.data(), K, true);
+    for (i32 i = m - 1; i >= 0; --i) {
+      sa[--bkt[st[lms[i]] & SMASK]] = lms[i];
+    }
   }
-  induce_t<SymT>(st, sa, cnt, bkt, n, K);
+  {
+    SaPhase ph("r-induce1", level);
+    induce_t<SymT>(st, sa, cnt, bkt, n, K);
+  }
 
   // Compact the sorted LMS positions to the front.
   i32 q = 0;
@@ -280,6 +289,7 @@ void sais_rec(SymT* st, i32* sa, i32 n, i32 K, i32* lms_buf, int level) {
   }
   i32 name = 0;
   {
+    SaPhase ph("r-naming", level);
     i32 prev = -1, prev_len = 0;
     for (i32 i = 0; i < m; ++i) {
       if (i + 8 < m) {
@@ -321,13 +331,19 @@ void sais_rec(SymT* st, i32* sa, i32 n, i32 K, i32* lms_buf, int level) {
   }
 
   // Stage 3: scatter sorted LMS suffixes to bucket tails, final induction.
-  std::fill(sa, sa + n, -1);
-  bucket_bounds(cnt.data(), bkt.data(), K, true);
-  for (i32 i = m - 1; i >= 0; --i) {
-    i32 p = lms[i];
-    sa[--bkt[st[p] & SMASK]] = p;
+  {
+    SaPhase ph("r-seed3", level);
+    std::fill(sa, sa + n, -1);
+    bucket_bounds(cnt.data(), bkt.data(), K, true);
+    for (i32 i = m - 1; i >= 0; --i) {
+      i32 p = lms[i];
+      sa[--bkt[st[p] & SMASK]] = p;
+    }
   }
-  induce_t<SymT>(st, sa, cnt, bkt, n, K);
+  {
+    SaPhase ph("r-induce3", level);
+    induce_t<SymT>(st, sa, cnt, bkt, n, K);
+  }
 }
 
 // ---------------------------------------------------------------------------
