@@ -556,6 +556,8 @@ class Reader:
 
         if not native_ops.probe_batch_available():
             return False
+        from .ops.suffix_array import device_rtt_estimate
+
         idx = self._index
         _, d2h = host_device_link_mbps()
         B = cnt.shape[1]
@@ -564,7 +566,9 @@ class Reader:
                 continue  # singleton rows are cheap either way
             total = int(np.maximum(cnt[r], 0).sum())
             host_est = B * len(idx.groups[r]) * HOST_PROBE_UNIT_S
-            dev_est = 0.03 + total * 4 / max(d2h * 1e6, 1e-9)
+            dev_est = device_rtt_estimate() + total * 4 / max(
+                d2h * 1e6, 1e-9
+            )
             if not (host_est < dev_est or total * 4 > self._READBACK_CAP):
                 return False
         return True
@@ -612,10 +616,14 @@ class Reader:
         # all but tiny batches.
         use_host = False
         if native_ops.probe_batch_available():
+            from .ops.suffix_array import device_rtt_estimate
+
             _, d2h = host_device_link_mbps()
             B = packed.shape[0]
             host_est = B * len(idx.groups[r]) * HOST_PROBE_UNIT_S
-            dev_est = 0.03 + total * 4 / max(d2h * 1e6, 1e-9)
+            dev_est = device_rtt_estimate() + total * 4 / max(
+                d2h * 1e6, 1e-9
+            )
             use_host = (
                 host_est < dev_est or total * 4 > self._READBACK_CAP
             )
