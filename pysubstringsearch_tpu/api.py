@@ -452,7 +452,7 @@ class Reader:
                 from .ops.hostserve import HostServing
 
                 self._hostserve_obj = HostServing.maybe(
-                    self._chunks, self._container.buf
+                    self._chunks, self._container.buf, self._prof
                 )
         return self._hostserve_obj
 

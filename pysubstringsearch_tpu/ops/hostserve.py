@@ -63,6 +63,7 @@ class HostServing:
         cls,
         chunks: typing.Sequence[Chunk],
         buf: typing.Optional[np.ndarray],
+        profiler=None,
     ) -> typing.Optional['HostServing']:
         """Instance when the native kernels and a flat file buffer are
         available (every chunk mapped from the same container), else None."""
@@ -75,12 +76,21 @@ class HostServing:
             or any(c.text_offset < 0 for c in chunks)
         ):
             return None
-        return cls(chunks, buf)
+        return cls(chunks, buf, profiler)
 
     def __init__(
-        self, chunks: typing.Sequence[Chunk], buf: np.ndarray
+        self,
+        chunks: typing.Sequence[Chunk],
+        buf: np.ndarray,
+        profiler=None,
     ) -> None:
         import ctypes
+
+        from ..utils.profiling import PhaseProfiler
+
+        #: Sub-phase timings (hs-probe / hs-spans / hs-fanout) — shared
+        #: with the owning Reader's profiler when one is passed.
+        self.prof = profiler if profiler is not None else PhaseProfiler()
 
         self._ct = ctypes
         self._lib = native_ops._load()
@@ -228,7 +238,8 @@ class HostServing:
         if not patterns or self.num_chunks == 0:
             return [[] for _ in patterns]
         packed, lens = pack_patterns_host(patterns)
-        lo, cnt = self.probe(packed, lens)
+        with self.prof.phase('hs-probe'):
+            lo, cnt = self.probe(packed, lens)
         if not cnt.any():  # miss fast path: no extraction state touched
             return [[] for _ in patterns]
         return self.extract(lo, cnt)
@@ -238,5 +249,7 @@ class HostServing:
     ) -> typing.List[typing.List[str]]:
         """Lines for per-(chunk, query) SA bounds — from :meth:`probe` or
         from a device probe whose rows coincide with container chunks."""
-        spans, out_base, out_cnt = self.extract_spans(lo, cnt)
-        return self.fanout(cnt.shape[1], spans, out_base, out_cnt)
+        with self.prof.phase('hs-spans'):
+            spans, out_base, out_cnt = self.extract_spans(lo, cnt)
+        with self.prof.phase('hs-fanout'):
+            return self.fanout(cnt.shape[1], spans, out_base, out_cnt)
