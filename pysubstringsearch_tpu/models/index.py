@@ -415,13 +415,18 @@ class DeviceIndex:
         # row i's derive executes instead of serializing on a readback.
         texts = jnp.zeros((C, n_pad), jnp.uint8)
         sas = jnp.zeros((C, n_pad), jnp.int32)
+        # Ranked alphabets hand the doubler their byte->rank map: the init
+        # then covers 2x(30//bits) chars in one sort instead of 6, one
+        # fewer doubling round per row.
+        brank = self.rank if self.kind == 'ranked' else None
+        bbits = self._bits if self.kind == 'ranked' else None
         pois = []
         for i, d in enumerate(self.row_data):
             row = np.zeros((n_pad,), dtype=np.uint8)
             row[: d.size] = d
             t = jnp.asarray(row)
             texts = set_row(texts, jnp.int32(i), t)
-            sa, poisoned = derive_sa(t, jnp.int32(d.size))
+            sa, poisoned = derive_sa(t, jnp.int32(d.size), brank, bbits)
             sas = set_row(sas, jnp.int32(i), sa)
             pois.append(poisoned)
             del t, sa
@@ -567,7 +572,11 @@ class DeviceIndex:
                     tb = jnp.zeros((table_len,), jnp.int32, device=dev)
                 else:
                     n_i = jnp.int32(d.size)
-                    sa, poisoned = derive_sa(t, n_i)
+                    sa, poisoned = derive_sa(
+                        t, n_i,
+                        rank_d if self.kind == 'ranked' else None,
+                        self._bits if self.kind == 'ranked' else None,
+                    )
                     if bool(poisoned):  # adversarial: full-sort fallback
                         del sa
                         sa = search_ops.derive_sa_full_jit()(t, n_i)

@@ -554,7 +554,7 @@ def build_bucket_table_device(text, n, sa, depth: int = 2):
     return jnp.minimum(table, n)
 
 
-def derive_sa(text, n):
+def derive_sa(text, n, brank=None, bits=None):
     """text row -> (SA rolled to the front, poisoned host bool).
 
     Real SA entries land in slots [0, n); the tail holds pad-suffix
@@ -564,7 +564,11 @@ def derive_sa(text, n):
     - up to 384 Mi padded: the segmented tie-only doubler
       (ops/suffix_array.py:_segmented_kernel) as ONE dispatch — the
       round-2-proven shape for reference-scale rows (its full-sort
-      fallback branch reserves ~24 bytes/char, which fits here).
+      fallback branch reserves ~24 bytes/char, which fits here).  With a
+      ranked alphabet (``brank``/``bits`` from the index geometry), the
+      init covers 2 * (30 // bits) characters instead of 6 in the same
+      one sort, dropping a doubling round (the text must carry the
+      derive path's PAD_MARGIN past ``n``).
     - larger rows: the rotating windowed doubler
       (segmented_rotating_sa), python-driven in bounded dispatches, whose
       transients stay within HBM at 512 MiB rows; adversarial inputs set
@@ -572,6 +576,13 @@ def derive_sa(text, n):
     """
     N = text.shape[0]
     if N <= (3 << 27):
+        if brank is not None and bits is not None:
+            return (
+                _derive_sa_seg_ranked_jit(bits)(
+                    text, jnp.asarray(n, jnp.int32), brank
+                ),
+                False,
+            )
         return _derive_sa_seg_jit()(text, jnp.asarray(n, jnp.int32)), False
     from .suffix_array import segmented_rotating_sa
 
@@ -586,6 +597,19 @@ def _derive_sa_seg_jit():
     def f(text, n):
         N = text.shape[0]
         return jnp.roll(_segmented_kernel(text, n), n - N)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _derive_sa_seg_ranked_jit(bits: int):
+    from .suffix_array import _segmented_kernel_ranked
+
+    def f(text, n, brank):
+        N = text.shape[0]
+        return jnp.roll(
+            _segmented_kernel_ranked(text, n, brank, bits), n - N
+        )
 
     return jax.jit(f)
 

@@ -322,12 +322,72 @@ def _relabel_and_scatter(g, r2, pos, sa, rank, gs):
     return sa, rank, gs
 
 
+def _init_round_anchored_ranked(
+    data_padded: jnp.ndarray, n: jnp.ndarray, brank: jnp.ndarray, bits: int
+):
+    """Ranked-alphabet initial sort in anchored form: two limbs of
+    ``D = 30 // bits`` rank digits each cover 2D characters (12 at bits=5)
+    in the SAME one 2-key sort the 6-byte init costs — for natural text
+    that removes one whole doubling round per row (~9 s at 272 Mi).
+
+    ``brank`` must be an order-preserving byte->rank map with ranks >= 1
+    for every byte that can occur (alphabet_rank), so the produced order
+    equals the byte-order SA; rank 0 is the pad/past-end digit, keeping
+    the all-zero-limb group exactly the pad positions.  Requires the
+    caller's padding margin: positions within D of the array end must be
+    past ``n`` (true for every derive-path caller — PAD_MARGIN — and
+    asserted nowhere because ``n`` is traced; see derive_sa).
+    """
+    N = data_padded.shape[0]
+    D = 30 // bits
+    iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
+    e = jnp.where(
+        iota < n, jnp.take(brank, data_padded.astype(jnp.int32)), 0
+    )
+    # Doubling ladder (at most three N-arrays live — see
+    # search._ranked_pack_device for the OOM measurement this avoids).
+    s2 = (e << bits) + jnp.roll(e, -1)
+    s4 = (s2 << (2 * bits)) + jnp.roll(s2, -2)
+    if D == 6:
+        packed = (s4 << (2 * bits)) + jnp.roll(s2, -4)
+    else:
+        assert D == 5
+        packed = (s4 << bits) + jnp.roll(e, -4)
+    limb0 = jnp.where(iota < n, packed, 0)
+    limb1 = jnp.where(iota + D < n, jnp.roll(limb0, -D), 0)
+    l0_s, l1_s, idx_s = lax.sort(
+        (limb0, limb1, iota), num_keys=2, is_stable=False
+    )
+    npad = N - n
+    sa = jnp.where(iota < npad, N - 1 - iota, idx_s)
+    changed = jnp.logical_or(
+        l0_s != jnp.roll(l0_s, 1), l1_s != jnp.roll(l1_s, 1)
+    )
+    changed = jnp.logical_or(changed, iota <= npad)
+    gs = lax.cummax(jnp.where(changed, iota, 0))
+    rank = jnp.zeros((N,), jnp.int32).at[sa].set(gs)
+    return sa, rank, gs
+
+
 def _segmented_kernel(data_padded: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     """SA of ``data_padded[:n]`` as the tail of a length-N array (same
     contract as ``_doubling_kernel``), via segmented doubling."""
-    N = data_padded.shape[0]
-    S = max(N // _SEG_DIV, 8)
     sa0, rank0, gs0 = _init_round_anchored(data_padded, n)
+    return _segmented_loop(data_padded.shape[0], 6, sa0, rank0, gs0)
+
+
+def _segmented_kernel_ranked(
+    data_padded: jnp.ndarray, n: jnp.ndarray, brank: jnp.ndarray, bits: int
+) -> jnp.ndarray:
+    """Segmented doubling with the ranked 2D-character init (same output
+    as ``_segmented_kernel`` — the rank map is order-preserving)."""
+    D = 30 // bits
+    sa0, rank0, gs0 = _init_round_anchored_ranked(data_padded, n, brank, bits)
+    return _segmented_loop(data_padded.shape[0], 2 * D, sa0, rank0, gs0)
+
+
+def _segmented_loop(N: int, k0: int, sa0, rank0, gs0) -> jnp.ndarray:
+    S = max(N // _SEG_DIV, 8)
 
     def cond(state):
         k, sa, rank, gs = state
@@ -371,7 +431,9 @@ def _segmented_kernel(data_padded: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
         sa, rank, gs = lax.cond(m <= S, seg_branch, full_branch, sa, rank, gs)
         return k * 2, sa, rank, gs
 
-    _, sa, _, _ = lax.while_loop(cond, body, (jnp.int32(6), sa0, rank0, gs0))
+    _, sa, _, _ = lax.while_loop(
+        cond, body, (jnp.int32(k0), sa0, rank0, gs0)
+    )
     return sa
 
 

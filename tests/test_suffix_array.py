@@ -147,3 +147,70 @@ def test_rotating_kernel_poison_fallback_end_to_end():
     lo_u, cnt_u = up.probe(packed, lengths)
     assert np.array_equal(cnt_d, cnt_u)
     assert np.array_equal(lo_d, lo_u)
+
+
+def test_segmented_ranked_init_matches_numpy():
+    """The ranked 2D-char init (_segmented_kernel_ranked) must produce the
+    byte-order SA — the rank map is order-preserving, so the result equals
+    the plain segmented kernel and the numpy oracle."""
+    import jax.numpy as jnp
+
+    from pysubstringsearch_tpu.ops import search as search_ops
+    from pysubstringsearch_tpu.ops.suffix_array import (
+        _pad_len,
+        _segmented_kernel_ranked,
+    )
+
+    rng = np.random.default_rng(42)
+    cases = []
+    # word-ish corpora over small alphabets (bits=5 eligible)
+    for size in (50, 1000, 5000):
+        cases.append(
+            rng.integers(97, 117, size=size).astype(np.uint8)
+        )
+    # repetitive input (big tie groups, exercises the full-sort branch)
+    cases.append(np.full(2000, 101, dtype=np.uint8))
+    # short tail: n smaller than the init window
+    cases.append(np.frombuffer(b'abca', dtype=np.uint8).copy())
+    for data in cases:
+        pres = np.bincount(data, minlength=256)[:256] > 0
+        sigma = int(pres.sum())
+        bits = search_ops.ranked_bits(sigma)
+        assert bits is not None
+        rank, _ = search_ops.alphabet_rank(pres)
+        n = data.size
+        N = _pad_len(n + search_ops.PAD_MARGIN)
+        padded = np.zeros(N, dtype=np.uint8)
+        padded[:n] = data
+        sa_full = np.asarray(
+            _segmented_kernel_ranked(
+                jnp.asarray(padded), jnp.int32(n), jnp.asarray(rank), bits
+            )
+        )
+        got = sa_full[N - n:]
+        np.testing.assert_array_equal(got, suffix_array_numpy(data))
+
+
+def test_derive_sa_ranked_wrapper_matches_plain():
+    import jax.numpy as jnp
+
+    from pysubstringsearch_tpu.ops import search as search_ops
+
+    rng = np.random.default_rng(9)
+    data = rng.integers(97, 107, size=3000).astype(np.uint8)
+    pres = np.bincount(data, minlength=256)[:256] > 0
+    rank, _ = search_ops.alphabet_rank(pres)
+    bits = search_ops.ranked_bits(int(pres.sum()))
+    from pysubstringsearch_tpu.ops.suffix_array import _pad_len
+
+    N = _pad_len(data.size + search_ops.PAD_MARGIN)
+    padded = np.zeros(N, dtype=np.uint8)
+    padded[: data.size] = data
+    t = jnp.asarray(padded)
+    n = jnp.int32(data.size)
+    sa_plain, p1 = search_ops.derive_sa(t, n)
+    sa_ranked, p2 = search_ops.derive_sa(t, n, jnp.asarray(rank), bits)
+    assert not p1 and not p2
+    np.testing.assert_array_equal(
+        np.asarray(sa_plain)[: data.size], np.asarray(sa_ranked)[: data.size]
+    )
