@@ -209,12 +209,26 @@ class HostServing:
             # Hash-deduplicated decode: each distinct line becomes ONE str
             # object per batch no matter how many queries hit it (the numpy
             # unique+inverse equivalent costs an argsort — measured ~8 s at
-            # 22M entries; the hash pass is one sweep).
-            per = fx.materialize_dedup(
-                self._buf_view, starts, ends,
-                np.ascontiguousarray(gstart),
-                np.ascontiguousarray(gstop), np.ascontiguousarray(qid),
-            )
+            # 22M entries; the hash pass is one sweep).  Cyclic GC is
+            # paused for big batches: allocating tens of millions of
+            # objects triggers thousands of collections whose full-heap
+            # scans scale with the PROCESS's object graph, not this call's
+            # (measured ~2x wall on the 22M-line batch inside a fat
+            # jax-runtime process); nothing allocated here can be cyclic.
+            import gc
+
+            pause_gc = starts.size > 1_000_000 and gc.isenabled()
+            if pause_gc:
+                gc.disable()
+            try:
+                per = fx.materialize_dedup(
+                    self._buf_view, starts, ends,
+                    np.ascontiguousarray(gstart),
+                    np.ascontiguousarray(gstop), np.ascontiguousarray(qid),
+                )
+            finally:
+                if pause_gc:
+                    gc.enable()
             for b, lines in per.items():
                 out[b] = lines
             return out
