@@ -24,7 +24,7 @@ small-batch (B = 1 / 16 / 256) serving latency.
 
 Env knobs: BENCH_MB (corpus size, default 500 — the reference's published
 headline config, README.md:43-51), BENCH_QUERIES (default 10000),
-BENCH_CHUNK_MB (build chunk size, default 64 — small chunks keep the
+BENCH_CHUNK_MB (build chunk size, default 8 — small chunks keep the
 2-worker SA build pipeline cache-friendly; the probe sees merged rows
 regardless), BENCH_IDX_CACHE (reuse a built index across runs).
 
@@ -110,7 +110,7 @@ def main():
 
     mb = int(os.environ.get('BENCH_MB', '500'))
     nq = int(os.environ.get('BENCH_QUERIES', '10000'))
-    chunk_mb = int(os.environ.get('BENCH_CHUNK_MB', '64'))
+    chunk_mb = int(os.environ.get('BENCH_CHUNK_MB', '8'))
 
     corpus, words = make_corpus(mb)
     log(f'corpus: {len(corpus) / 1e6:.1f} MB')

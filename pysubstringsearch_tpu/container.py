@@ -59,9 +59,11 @@ def write_chunk(
     if data.size > 0xFFFFFFFF or suffix_array.size * 4 > 0xFFFFFFFF:
         raise ValueError('chunk too large for u32 container framing')
     fobj.write(_U32.pack(data.size))
-    fobj.write(data.tobytes())
+    fobj.write(memoryview(data))  # buffer protocol: no tobytes() copy
     fobj.write(_U32.pack(suffix_array.size * 4))
-    fobj.write(suffix_array.astype('<i4', copy=False).tobytes())
+    sa_le = suffix_array.astype('<i4', copy=False)
+    fobj.write(memoryview(sa_le if sa_le.flags.c_contiguous else
+                          np.ascontiguousarray(sa_le)))
 
 
 @dataclasses.dataclass
