@@ -23,6 +23,39 @@
 #include <Python.h>
 
 #include <stdint.h>
+#include <string.h>
+
+/* Decode one line span to str: ASCII fast path (the overwhelming case for
+ * the reference's word corpora) allocates the 1-byte-kind unicode directly
+ * and copies while checking the high bits word-at-a-time; any non-ASCII
+ * byte discards and falls back to the full UTF-8 decoder.  ~40 ns cheaper
+ * per line than PyUnicode_DecodeUTF8's generic entry at typical line
+ * lengths. */
+static inline PyObject* decode_line(const char* base, int64_t s, int64_t e) {
+  Py_ssize_t len = (Py_ssize_t)(e - s);
+  const unsigned char* p = (const unsigned char*)(base + s);
+  PyObject* obj = PyUnicode_New(len, 127);
+  if (obj != NULL) {
+    unsigned char* dst = (unsigned char*)PyUnicode_1BYTE_DATA(obj);
+    Py_ssize_t i = 0;
+    uint64_t acc = 0;
+    for (; i + 8 <= len; i += 8) {
+      uint64_t w;
+      memcpy(&w, p + i, 8);
+      acc |= w;
+      memcpy(dst + i, &w, 8);
+    }
+    for (; i < len; ++i) {
+      acc |= p[i];
+      dst[i] = p[i];
+    }
+    if ((acc & 0x8080808080808080ull) == 0) return obj;
+    Py_DECREF(obj); /* non-ASCII: take the full decoder */
+  } else {
+    PyErr_Clear();
+  }
+  return PyUnicode_DecodeUTF8(base + s, len, "surrogateescape");
+}
 
 static PyObject* materialize(PyObject* self, PyObject* args) {
   Py_buffer data, bstarts, bends, binv, bgstart, bgstop, bqid;
@@ -53,12 +86,12 @@ static PyObject* materialize(PyObject* self, PyObject* args) {
   }
   for (d = 0; d < D; ++d) {
     int64_t s = starts[d], e = ends[d];
+    if (d + 8 < D) __builtin_prefetch(base + starts[d + 8]);
     if (s < 0 || e < s || e > (int64_t)data.len) {
       PyErr_SetString(PyExc_ValueError, "materialize: span out of bounds");
       goto done;
     }
-    dist[d] = PyUnicode_DecodeUTF8(base + s, (Py_ssize_t)(e - s),
-                                   "surrogateescape");
+    dist[d] = decode_line(base, s, e);
     if (dist[d] == NULL) goto done;
   }
   out = PyDict_New();
@@ -144,8 +177,10 @@ static PyObject* materialize_dedup(PyObject* self, PyObject* args) {
     PyErr_SetString(PyExc_ValueError, "materialize_dedup: length mismatch");
     goto done;
   }
-  /* Capacity: power of two with load factor <= ~0.75 at T entries. */
-  while (cap < (size_t)T + (size_t)T / 3 + 1) cap <<= 1;
+  /* Capacity: power of two with load factor <= ~0.75 at T entries (the
+   * single-group fast path below never probes, so keep its table tiny). */
+  if (G > 1)
+    while (cap < (size_t)T + (size_t)T / 3 + 1) cap <<= 1;
   mask = (uint64_t)cap - 1;
   keys = (int64_t*)PyMem_Malloc(cap * sizeof(int64_t));
   vals = (PyObject**)PyMem_Malloc(cap * sizeof(PyObject*));
@@ -174,6 +209,7 @@ static PyObject* materialize_dedup(PyObject* self, PyObject* args) {
       int64_t s = starts[t], e = ends[t];
       uint64_t z, h;
       PyObject* obj;
+      if (t + 8 < b) __builtin_prefetch(base + starts[t + 8]);
       if (s < 0 || e < s || e > (int64_t)data.len) {
         PyErr_SetString(PyExc_ValueError,
                         "materialize_dedup: span out of bounds");
@@ -181,12 +217,24 @@ static PyObject* materialize_dedup(PyObject* self, PyObject* args) {
         Py_CLEAR(out);
         goto done;
       }
+      if (G == 1) {
+        /* Single group = single query: the hash's only job is sharing one
+         * str object across queries that hit the same line, so it buys
+         * nothing here — skip the probe and decode directly. */
+        obj = decode_line(base, s, e);
+        if (obj == NULL) {
+          Py_DECREF(lst);
+          Py_CLEAR(out);
+          goto done;
+        }
+        PyList_SET_ITEM(lst, (Py_ssize_t)(t - a), obj);
+        continue;
+      }
       z = (uint64_t)s * 0x9E3779B97F4A7C15ull;
       h = (z ^ (z >> 29)) & mask;
       while (keys[h] != -1 && keys[h] != s) h = (h + 1) & mask;
       if (keys[h] == -1) {
-        obj = PyUnicode_DecodeUTF8(base + s, (Py_ssize_t)(e - s),
-                                   "surrogateescape");
+        obj = decode_line(base, s, e);
         if (obj == NULL) {
           Py_DECREF(lst);
           Py_CLEAR(out);

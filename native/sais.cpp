@@ -1621,6 +1621,14 @@ i32 tpuss_extract_spans(i32 nchunks, const uint8_t* const* datas,
     std::vector<i32> starts;
     starts.reserve(static_cast<size_t>(k));
     for (i32 i = 0; i < k; ++i) {
+      if (i + 16 < k) {
+        // Two-stage lookahead: fetch the SA entry far out, and the text
+        // around an already-fetched entry nearer in — the memrchr walk's
+        // first touches are the dominant misses of this loop.
+        __builtin_prefetch(sa + l + i + 16);
+        i32 pp = ld32u(sa + l + i + 8);
+        if (pp > 0 && pp < n) __builtin_prefetch(d + pp - 1);
+      }
       i32 pos = ld32u(sa + l + i);
       if (pos < 0 || pos >= n) {
         rc.store(1, std::memory_order_relaxed);
@@ -1636,7 +1644,9 @@ i32 tpuss_extract_spans(i32 nchunks, const uint8_t* const* datas,
     int64_t* out = spans_out + 2 * out_base[u];
     int64_t off = text_offs[c];
     i32 m = 0;
-    for (i32 s : starts) {
+    for (size_t si = 0; si < starts.size(); ++si) {
+      if (si + 8 < starts.size()) __builtin_prefetch(d + starts[si + 8]);
+      i32 s = starts[si];
       const void* q = memchr(d + s, '\n', static_cast<size_t>(n - s));
       i32 e = q ? static_cast<i32>(static_cast<const uint8_t*>(q) - d)
                 : n - 1;

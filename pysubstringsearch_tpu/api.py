@@ -347,35 +347,20 @@ class Reader:
             # Pre-pay the one-time link-rate probe while the tunnel is idle
             # (it routes extraction; measuring it mid-derive would
             # under-report, and lazily it would tax the first real query).
-            from .ops.suffix_array import host_device_link_mbps
+            # Its own try/except: a transient tunnel error during this 1 MB
+            # measurement must degrade to the default routing rates, not
+            # poison a successfully built device index.
+            try:
+                from .ops.suffix_array import host_device_link_mbps
 
-            host_device_link_mbps()
+                host_device_link_mbps()
+            except Exception:
+                pass
             self._device_index = index
         except BaseException as exc:  # noqa: BLE001 — re-raised on access
             self._device_exc = exc
         finally:
             self._device_ready.set()
-        if (
-            index is not None
-            and self._device_exc is None
-            and os.environ.get('TPUSS_AUX_EAGER', '0') == '1'
-        ):
-            # Opt-in: attach the deferred hot-bucket aux tables right after
-            # readiness.  Off by default — the ~72 s aux build would queue
-            # AHEAD of the first real probes on the serial device stream,
-            # and the aux-free ladder already meets the serving targets
-            # (measured; see ARCHITECTURE.md).
-            try:
-                with self._prof.phase('device-aux'):
-                    index.build_aux()
-                    if index.aux is not None:
-                        probe_pats = np.full((8, 4), ord('e'), np.uint8)
-                        index.probe(
-                            probe_pats, np.full((8,), 4, np.int32)
-                        )
-            except Exception:
-                pass  # aux is an accelerator; serving continues without it
-
     @property
     def profiler(self) -> PhaseProfiler:
         """Per-phase query-side timings: ``load-container``, ``line-tables``,
@@ -788,56 +773,15 @@ class Reader:
     def _search_host(
         self, patterns: typing.List[bytes]
     ) -> typing.List[typing.List[str]]:
-        """Exact host-side search (any pattern length): native batched
-        bisection per source chunk when available, scalar python bisection
-        otherwise.  Used for patterns beyond the device window margin."""
-        hs = self._host_serving
-        if hs is not None:
-            return hs.search(patterns)
-        idx = self._index
-        out: typing.List[typing.List[str]] = [[] for _ in patterns]
-        stride = max(1, max(len(p) for p in patterns))
-        packed = np.zeros((len(patterns), stride), dtype=np.uint8)
-        plens = np.zeros(len(patterns), dtype=np.int32)
-        for i, p in enumerate(patterns):
-            packed[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
-            plens[i] = len(p)
-        for r in range(idx.num_chunks):
-            table = self.row_tables[r]
-            for j, c in enumerate(idx.groups[r]):
-                chunk = self._chunks[c]
-                if native_available_for_probe():
-                    from .ops import native as native_ops
-
-                    lo_c, cnt_c = native_ops.probe_batch_native(
-                        chunk.data, chunk.suffix_array, packed, plens
-                    )
-                else:
-                    data = chunk.data.tobytes()
-                    lo_c = np.zeros(len(patterns), dtype=np.int64)
-                    cnt_c = np.zeros(len(patterns), dtype=np.int64)
-                    for b, pat in enumerate(patterns):
-                        lo_c[b], cnt_c[b] = search_ops.host_probe_bounds(
-                            data, chunk.suffix_array, pat
-                        )
-                cnt_c = np.maximum(cnt_c.astype(np.int64), 0)
-                seg = np.repeat(
-                    np.arange(cnt_c.size, dtype=np.int64), cnt_c
-                )
-                firsts = np.cumsum(cnt_c) - cnt_c
-                offs = (
-                    np.repeat(lo_c.astype(np.int64) - firsts, cnt_c)
-                    + np.arange(int(cnt_c.sum()), dtype=np.int64)
-                )
-                pos = (
-                    chunk.suffix_array[offs].astype(np.int64)
-                    + int(idx.group_offsets[r][j])
-                )
-                for b, lines in table.lines_for_positions(
-                    seg, pos
-                ).items():
-                    out[b].extend(lines)
-        return out
+        """Exact host-side search for any pattern length (patterns beyond
+        the device window margin, and the slow-link route).  One cost-routed
+        implementation serves this, the background-load window, and the
+        native HostServing pipeline: ``_search_host_chunks`` — per-chunk
+        bisection + per-chunk line extraction, the reference's own shape
+        (src/lib.rs:201-287).  Result multisets are identical to the former
+        row-table variant (a line belongs to exactly one chunk; the
+        reference's cross-chunk order is nondeterministic, src/lib.rs:280)."""
+        return self._search_host_chunks(patterns)
 
     def search(self, substring: str) -> typing.List[str]:
         return self._search_batch([substring.encode('utf-8')])[0]

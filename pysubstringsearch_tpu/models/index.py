@@ -186,9 +186,6 @@ class DeviceIndex:
                 (0, search_ops.BUCKET_TABLE_SIZE), jnp.int32
             )
             self.limbs = jnp.zeros((0, 8), jnp.int32)
-            self.h_pad = 0
-            self.hot_id = None
-            self.aux = None
             rank, pres_i = search_ops.identity_rank()
             self.rank = jnp.asarray(rank)
             self.present = jnp.asarray(pres_i)
@@ -218,19 +215,6 @@ class DeviceIndex:
         if num_limbs is None:
             num_limbs = self._auto_num_limbs(chunks)
         self.num_limbs = num_limbs
-        #: Hot-bucket aux geometry (0 = disabled; see ops/search.py).
-        # Adaptive aux blocks quantize int32 key DIFFERENCES, so they are
-        # limited to the rank-packed encoding (values < 2^30; raw-packed
-        # byte keys span the full int32 and the subtraction could wrap).
-        self.h_pad = (
-            search_ops.aux_blocks_for(max_n)
-            if self.kind == 'ranked' and search_ops.AUX_TH > 0
-            else 0
-        )
-        #: Hot-bucket aux arrays; None until built (upload/sharded modes
-        #: build inline, single-device derive defers to :meth:`build_aux`).
-        self.hot_id = None
-        self.aux = None
         if _plan_only:
             return
         if mode == 'derive':
@@ -303,7 +287,7 @@ class DeviceIndex:
         — if even that overflows, the corpus needs more chips
         (parallel.ShardedReader), not a thinner index.
 
-        In derive mode the binding constraint is the aux build's peak, not
+        In derive mode the binding constraint is the limb build's peak, not
         the final resident set: per chunk it materializes one limb-plane row
         (4 * num_limbs * n_pad) plus ~8 * n_pad of builder scratch alongside
         the full stacked buffers, so the fit divides by (C + 1) rows and
@@ -351,7 +335,6 @@ class DeviceIndex:
         limbs = np.zeros(
             (self.num_chunks, n_pad * self.num_limbs), dtype=np.int32
         )
-        hot = aux = None
         for i, c in enumerate(chunks):
             if self.kind == 'ranked':
                 k = search_ops.build_ranked_limbs_host(
@@ -367,27 +350,7 @@ class DeviceIndex:
                     c.data, c.suffix_array, self.num_limbs
                 )
             limbs[i] = search_ops.pad_limbs_host(k, n_pad)
-            if self.h_pad > 0:
-                if hot is None:
-                    tlen = self._base ** depth + 1
-                    hot = np.zeros(
-                        (self.num_chunks, tlen - 1), dtype=np.int32
-                    )
-                    aux = np.zeros(
-                        (self.num_chunks,
-                         self.h_pad * search_ops.AUX_STRIDE),
-                        dtype=np.int32,
-                    )
-                hot[i] = search_ops.build_hot_id_host(
-                    host_tables[i], search_ops.AUX_TH, self.h_pad
-                )
-                aux[i] = search_ops.build_aux_host(
-                    k[0], host_tables[i], hot[i], self.h_pad
-                )
         self.limbs = self._put_rows(limbs)
-        if self.h_pad > 0 and hot is not None:
-            self.hot_id = self._put_rows(hot)
-            self.aux = self._put_rows(aux)
 
     def _init_derive(self, chunks, n_pad, depth):
         del chunks  # derive builds from self.row_data (merged rows)
@@ -444,10 +407,6 @@ class DeviceIndex:
         # packed ONCE and feeds both the table (ranked kinds: one gather +
         # scatter-min, derive_table_from_pack_jit) and every limb plane (a
         # dynamic-offset gather per plane, one compiled program total).
-        # The hot-bucket aux tables are NOT built here: their builder costs
-        # as much as half the SA derive (measured ~36 s per 272 Mi row) and
-        # the probe runs correctly without them — build_aux() attaches them
-        # later without blocking readiness.
         tables = jnp.zeros((C, self._base ** self._depth + 1), jnp.int32)
         if self.kind in ('ranked', 'raw'):
             limbs = jnp.zeros((C, n_pad * self.num_limbs), jnp.int32)
@@ -498,46 +457,6 @@ class DeviceIndex:
         self.limbs = limbs
         self.tables = tables
 
-    def build_aux(self) -> None:
-        """Build the DEFERRED hot-bucket aux tables (single-device derive
-        mode; no-op when already present, disabled, or inapplicable).
-
-        The adaptive-shift aux blocks accelerate probes into very wide
-        seed buckets but cost ~36 s per 272 Mi row to construct — deferred
-        out of the readiness path, the index serves probes through the
-        aux-free executables and switches to the aux ladder when this
-        completes (probe_device_parts snapshots the aux state per call, so
-        the flip is safe mid-serving).
-        """
-        if (
-            self.h_pad <= 0
-            or self.aux is not None
-            or self.kind != 'ranked'
-            or self.num_chunks == 0
-            or self.mode != 'derive'
-        ):
-            return
-        set_row = search_ops.set_row_jit()
-        hot_aux = search_ops.derive_hot_aux_jit(
-            search_ops.AUX_TH, self.h_pad, self._depth, self._bits
-        )
-        pack0 = search_ops.ranked_pack_jit(self._bits)
-        tlen = self._base ** self._depth + 1
-        C = self.num_chunks
-        hots = jnp.zeros((C, tlen - 1), jnp.int32)
-        auxs = jnp.zeros((C, self.h_pad * search_ops.AUX_STRIDE), jnp.int32)
-        for i, d in enumerate(self.row_data):
-            n_i = jnp.int32(d.size)
-            h_i, a_i = hot_aux(
-                self.tables[i], pack0(self.text[i], n_i, self.rank),
-                self.sa[i], n_i,
-            )
-            hots = set_row(hots, jnp.int32(i), h_i)
-            auxs = set_row(auxs, jnp.int32(i), a_i)
-            del h_i, a_i
-        self.hot_id = hots
-        self.aux = auxs  # published last: aux_active() keys off this
-
     def _init_derive_sharded(self, n_pad, depth):
         """Derive with mesh placement: each row's SA/limbs/tables build on
         the device that owns the row (independent per-device dispatches — no
@@ -555,11 +474,9 @@ class DeviceIndex:
         )
         table_len = self._base ** self._depth + 1
         t_shards, s_shards, l_shards, tb_shards = [], [], [], []
-        h_shards, a_shards = [], []
         for k, dev in enumerate(devs):
             rank_d = jax.device_put(self._rank_host, dev)
             t_rows, s_rows, l_rows, tb_rows = [], [], [], []
-            h_rows, a_rows = [], []
             for i in range(k * rpd, (k + 1) * rpd):
                 d = self.row_data[i]
                 row = np.zeros((n_pad,), dtype=np.uint8)
@@ -581,25 +498,6 @@ class DeviceIndex:
                         del sa
                         sa = search_ops.derive_sa_full_jit()(t, n_i)
                     lb, tb = aux_row(t, n_i, sa, rank_d)
-                if self.h_pad > 0:
-                    if d.size == 0:
-                        h_i = jnp.zeros((table_len - 1,), jnp.int32,
-                                        device=dev)
-                        a_i = jnp.zeros(
-                            (self.h_pad * search_ops.AUX_STRIDE,),
-                            jnp.int32, device=dev,
-                        )
-                    else:
-                        n_i2 = jnp.int32(d.size)
-                        packed0 = search_ops.ranked_pack_jit(self._bits)(
-                            t, n_i2, rank_d
-                        )
-                        h_i, a_i = search_ops.derive_hot_aux_jit(
-                            search_ops.AUX_TH, self.h_pad, self._depth,
-                            self._bits,
-                        )(tb, packed0, sa, n_i2)
-                    h_rows.append(h_i)
-                    a_rows.append(a_i)
                 t_rows.append(t)
                 s_rows.append(sa)
                 l_rows.append(lb)
@@ -608,22 +506,11 @@ class DeviceIndex:
             s_shards.append(jnp.stack(s_rows))
             l_shards.append(jnp.stack(l_rows))
             tb_shards.append(jnp.stack(tb_rows))
-            if self.h_pad > 0:
-                h_shards.append(jnp.stack(h_rows))
-                a_shards.append(jnp.stack(a_rows))
         mk = jax.make_array_from_single_device_arrays
         self.text = mk((C, n_pad), self.sharding, t_shards)
         self.sa = mk((C, n_pad), self.sharding, s_shards)
         self.limbs = mk((C, n_pad * self.num_limbs), self.sharding, l_shards)
         self.tables = mk((C, table_len), self.sharding, tb_shards)
-        if self.h_pad > 0:
-            self.hot_id = mk(
-                (C, table_len - 1), self.sharding, h_shards
-            )
-            self.aux = mk(
-                (C, self.h_pad * search_ops.AUX_STRIDE), self.sharding,
-                a_shards,
-            )
 
     def _group_batch(self, patterns: np.ndarray, lengths: np.ndarray):
         """(spec, flat device operands) for the grouped phased probe.
@@ -703,27 +590,18 @@ class DeviceIndex:
         patterns = np.asarray(patterns)
         lengths = np.asarray(lengths)
         spec, flat = self._group_batch(patterns, lengths)
-        # Snapshot the aux state ONCE per call: the deferred build_aux()
-        # may publish aux mid-serving from another thread; either ladder
-        # answers correctly, but one call must not mix operand sets.
-        aux = self.aux if self.h_pad > 0 else None
-        hot_id = self.hot_id if aux is not None else None
-        h_pad = self.h_pad if aux is not None else 0
         if self.sharding is not None:
             # Sharded operands: let jit propagate the mesh placement (AOT
             # executables are lowered without shardings).
             parts = []
             for (Bk, width, deep), (idx, sub, sub_len) in zip(spec, flat):
                 probe = search_ops.phased_batch_jit(
-                    deep, self.num_limbs, self._bits, h_pad > 0,
+                    deep, self.num_limbs, self._bits,
                     uniform_long=width > self._depth,
                 )
-                ops = (self.text, self.lengths, self.sa, self.tables,
-                       self.limbs)
-                if h_pad > 0:
-                    ops += (hot_id, aux)
                 lo_k, cnt_k = probe(
-                    *ops, self.rank, self.present, sub, sub_len
+                    self.text, self.lengths, self.sa, self.tables,
+                    self.limbs, self.rank, self.present, sub, sub_len
                 )
                 parts.append((idx, lo_k, cnt_k))
             return parts
@@ -733,41 +611,34 @@ class DeviceIndex:
         table_len = self._base ** self._depth + 1
         keys = [
             (self.num_limbs, self._bits, deep, self.num_chunks, self.n_pad,
-             table_len, h_pad, Bk, width)
+             table_len, Bk, width)
             for (Bk, width, deep) in spec
         ]
         search_ops.warm_phased_classes(keys)
         parts = []
         for key, (idx, sub, sub_len) in zip(keys, flat):
             exe = search_ops.phased_class_exec(*key)
-            ops = (self.text, self.lengths, self.sa, self.tables,
-                   self.limbs)
-            if h_pad > 0:
-                ops += (hot_id, aux)
-            lo_k, cnt_k = exe(*ops, self.rank, self.present, sub, sub_len)
+            lo_k, cnt_k = exe(
+                self.text, self.lengths, self.sa, self.tables, self.limbs,
+                self.rank, self.present, sub, sub_len
+            )
             parts.append((idx, lo_k, cnt_k))
         return parts
 
     def probe_class_keys(self, lengths: np.ndarray):
         """Executable-cache keys the given batch lengths will dispatch —
         feed to ops.search.warm_phased_classes to pre-compile (possible
-        from a geometry-only plan(), before any device array exists).
-
-        With a deferred aux (h_pad > 0) BOTH ladders are returned: probes
-        dispatch aux-free executables until build_aux() publishes, then
-        switch — warming both keeps either path compile-free."""
+        from a geometry-only plan(), before any device array exists)."""
         if self.kind == 'digit' or self.num_chunks == 0:
             return []
         table_len = self._base ** self._depth + 1
-        h_pads = {0, self.h_pad} if self.h_pad > 0 else {0}
         return [
             (self.num_limbs, self._bits, deep, self.num_chunks, self.n_pad,
-             table_len, hp, Bk, width)
+             table_len, Bk, width)
             for (Bk, width, deep, _) in search_ops.class_spec(
                 np.asarray(lengths), self._depth, self._limb_bytes,
                 self.cover_bytes, self.num_limbs,
             )
-            for hp in sorted(h_pads)
         ]
 
     def warm_probe(self, lengths: np.ndarray, parallel: bool = True) -> None:

@@ -183,8 +183,11 @@ class HostServing:
         out_cnt: np.ndarray,
     ) -> typing.List[typing.List[str]]:
         """Compact sparse per-(chunk, query) spans into per-query line lists
-        (query-major, chunks ascending, line starts ascending within a chunk
-        — the reference's per-chunk extension order, src/lib.rs:280)."""
+        (query-major, chunks ascending, line starts ascending within a
+        chunk — this repo's ascending-line-id convention, matching
+        ops/extract.py; the reference emits lines in SA-iteration order
+        instead, src/lib.rs:262-280, but result SETS are identical and the
+        reference's own tests are order-insensitive)."""
         C = self.num_chunks
         oc_bc = out_cnt.T.reshape(-1).astype(np.int64)  # (b, c) order
         base_bc = out_base.reshape(C, B).T.reshape(-1)

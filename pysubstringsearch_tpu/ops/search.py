@@ -262,6 +262,40 @@ def probe_bounds(text, n, sa, patterns, lengths):
     return lower, bounds[B:] - lower
 
 
+def probe_bounds_loop(text, n, sa, patterns, lengths):
+    """Loop-form twin of :func:`probe_bounds`: the bisection runs inside a
+    ``lax.while_loop`` with on-device convergence instead of log2(N)+1
+    unrolled steps.  Same math, different compilation shape — one small
+    program regardless of chunk size, where the unrolled form emits a
+    ~29-step straight-line program at real chunk sizes (minutes of compile
+    through a remote tunnel).  This is the production shape for the sharded
+    kernels (parallel/sharded.py), matching the single-device phased path's
+    choice (see probe_bounds_limbs_loop)."""
+    n = jnp.asarray(n, jnp.int32)
+    both, both_len, thresholds = _duplex(patterns, lengths)
+    B = patterns.shape[0]
+    lo0 = jnp.zeros((2 * B,), jnp.int32) + n * 0
+    hi0 = jnp.full((2 * B,), 1, jnp.int32) * n
+
+    def cond(state):
+        lo, hi = state
+        return jnp.any(lo < hi)
+
+    def body(state):
+        lo, hi = state
+        mid = (lo + hi) // 2
+        cmp = _cmp3(text, n, sa, mid, both, both_len)
+        pred = cmp >= thresholds
+        active = lo < hi
+        hi = jnp.where(jnp.logical_and(active, pred), mid, hi)
+        lo = jnp.where(jnp.logical_and(active, ~pred), mid + 1, lo)
+        return lo, hi
+
+    lo, _ = lax.while_loop(cond, body, (lo0, hi0))
+    lower = lo[:B]
+    return lower, lo[B:] - lower
+
+
 def build_bucket_table(text, n, sa, depth: int = 2):
     """int32 bucket table: table[k] = first SA slot whose suffix's
     ``depth``-digit prefix value is >= k (digits in the b+1 rank space).
@@ -1040,174 +1074,19 @@ def _raw_targets(patterns, lengths, thresholds, num_limbs: int, depth: int):
 
 
 # ---------------------------------------------------------------------------
-# Hot-bucket aux tables — bounding the probe's worst-lane iteration count
+# Hot-bucket aux tables: REMOVED (round 5).
+#
+# Rounds 2-4 carried an adaptive-shift per-hot-bucket refinement table that
+# resolved one extra rank digit for seed buckets wider than a threshold,
+# bounding the phased while_loop's worst-lane iteration count.  The round-5
+# hardware A/B (benchmarks/probe_session_r5.json) settled its fate: in the
+# shipped derive geometry (2 rows x 272 MiB, 2 ranked limbs) attaching the
+# aux operands OOMs the chip (RESOURCE_EXHAUSTED on the first aux-ladder
+# probe — the blocks plus their executables exceed residual HBM), so the
+# machinery could never run in production, and the aux-free ladder already
+# meets the serving targets.  Deleted per VERDICT r4 item 6; see git
+# history for the implementation.
 # ---------------------------------------------------------------------------
-#
-# The phased while_loop bills every lane for the SLOWEST lane, and a lane's
-# phase-1 iteration count is log2 of its seed bucket's width.  Natural-text
-# width distributions are heavily skewed (bench corpus at depth 5: median
-# 37, p99 3263, max 7241 — and 90% of POSITIONS, hence of randomly sampled
-# patterns, live in buckets wider than 64), so the max lane runs ~13
-# iterations while the median needs ~5.  The aux table resolves ONE extra
-# rank digit for every hot bucket: block[h][j] = first SA slot in hot
-# bucket h whose digit-at-depth is >= j, so a seeded range starts at
-# width/base instead of width — two extra gathers replace ~log2(base)
-# bisection iterations for exactly the lanes that set the while_loop's trip
-# count.
-#
-# Sizing is STATIC from geometry (so probe programs stay plannable before
-# any index exists): hot = the first AUX_BLOCKS buckets wider than
-# TPUSS_AUX_TH in bucket-id order; overflow buckets just keep their plain
-# table range (correctness never depends on aux coverage).
-
-#: Width threshold for aux acceleration (0 disables the aux tables).
-AUX_TH = int(os.environ.get('TPUSS_AUX_TH', '64'))
-
-
-def aux_blocks_for(max_n: int, th: int = None) -> int:
-    """Static aux block budget for a row of ``max_n`` chars (pow2, capped)."""
-    th = AUX_TH if th is None else th
-    if th <= 0:
-        return 0
-    want = max(8, max_n // (th * 4))
-    h = 8
-    while h < want and h < (1 << 20):
-        h *= 2
-    return h
-
-
-def build_hot_id_host(table: np.ndarray, th: int, h_pad: int) -> np.ndarray:
-    """int32 [table_len - 1]: aux block id per bucket (-1 = not hot)."""
-    w = table[1:].astype(np.int64) - table[:-1].astype(np.int64)
-    hot = w > th
-    ids = np.cumsum(hot) - 1
-    return np.where(hot & (ids < h_pad), ids, -1).astype(np.int32)
-
-
-#: Aux block layout: [vmin, shift, B0..B32] — 35 int32 per block.
-AUX_STRIDE = 35
-#: log2 of the sub-buckets per block.
-_AUX_QBITS = 5
-
-
-def build_aux_host(
-    limb0: np.ndarray, table: np.ndarray, hot_id: np.ndarray, h_pad: int,
-) -> np.ndarray:
-    """int32 [h_pad * AUX_STRIDE] flattened adaptive-shift aux blocks.
-
-    For hot bucket h spanning SA slots [lo, hi): vmin/vmax are the (sorted)
-    limb-0 values at the range ends, shift = max(0, bits(span) - 5), and
-    B[q] = first slot whose limb-0 value is >= vmin + (q << shift)
-    (B[32] = hi unconditionally, so an underestimated shift only coarsens
-    granularity, never loses containment).  The quantization adapts to
-    WHERE the bucket's keys diverge — a fixed next-digit histogram is
-    degenerate whenever the continuation byte is deterministic (e.g. any
-    range inside one word's occurrences).  ``limb0`` is the plane-0 packed
-    keys in SA-slot order.
-    """
-    out = np.zeros((h_pad, AUX_STRIDE), dtype=np.int32)
-    ks = np.flatnonzero(hot_id >= 0)
-    if ks.size == 0:
-        return out.reshape(-1)
-    v64 = limb0.astype(np.int64)
-    for k in ks.tolist():
-        h = hot_id[k]
-        lo, hi = int(table[k]), int(table[k + 1])
-        vmin = int(v64[lo])
-        span = int(v64[hi - 1]) - vmin
-        shift = max(0, int(span).bit_length() - _AUX_QBITS)
-        qs = vmin + (np.arange(1 << _AUX_QBITS, dtype=np.int64) << shift)
-        b = lo + np.searchsorted(v64[lo:hi], qs, side='left')
-        out[h, 0] = np.int32(vmin)
-        out[h, 1] = shift
-        out[h, 2:2 + (1 << _AUX_QBITS)] = b.astype(np.int32)
-        out[h, 2 + (1 << _AUX_QBITS)] = hi
-    return out.reshape(-1)
-@functools.lru_cache(maxsize=None)
-def derive_hot_aux_jit(th: int, h_pad: int, depth: int, bits: int):
-    """Device twin of build_hot_id_host + build_aux_host:
-    (table, packed rank stream, sa, n) -> (hot_id, aux); the plane-0 keys
-    are recomputed from the packed stream so this program can run BEFORE
-    the stacked limb buffer exists (HBM transient discipline — see
-    models/index.py pass ordering).
-
-    B[q] boundaries come from a scatter-min of slot indices over
-    (block, q) keys completed with a backward cummin — the same
-    construction as the seed table, in quantized value space.
-    """
-
-    Q = 1 << _AUX_QBITS
-
-    def f(table, packed, sa, n):
-        limb0 = _ranked_limb_col_from_pack(packed, n, sa, 0, depth, bits)
-        N = limb0.shape[0]
-        size = table.shape[0] - 1
-        w = table[1:] - table[:-1]
-        hot = w > th
-        ids = jnp.cumsum(hot.astype(jnp.int32)) - 1
-        hot_id = jnp.where(
-            jnp.logical_and(hot, ids < h_pad), ids, -1
-        ).astype(jnp.int32)
-        # Per hot block: vmin/vmax from the (sorted) range-end values.
-        ks_lo = jnp.clip(table[:-1], 0, N - 1)
-        ks_hi = jnp.clip(table[1:] - 1, 0, N - 1)
-        vmin_k = jnp.take(limb0, ks_lo)
-        span_k = jnp.take(limb0, ks_hi) - vmin_k
-        # shift = max(0, bit_length(span) - QBITS); exact via comparisons
-        # against powers of two (span < 2^30 for rank-packed keys).
-        shift_k = jnp.zeros(size, jnp.int32)
-        for b in range(_AUX_QBITS, 31):
-            shift_k = jnp.where(span_k >= (1 << b), b + 1 - _AUX_QBITS,
-                                shift_k)
-        tgt_idx = jnp.where(hot_id >= 0, hot_id, h_pad)
-        vmin_b = (
-            jnp.zeros((h_pad + 1,), jnp.int32)
-            .at[tgt_idx].set(vmin_k, mode='drop')[:h_pad]
-        )
-        shift_b = (
-            jnp.zeros((h_pad + 1,), jnp.int32)
-            .at[tgt_idx].set(shift_k, mode='drop')[:h_pad]
-        )
-        hi_b = (
-            jnp.zeros((h_pad + 1,), jnp.int32)
-            .at[tgt_idx].set(table[1:], mode='drop')[:h_pad]
-        )
-        # Bucket id per SA slot via the seed-table inverse: slot -> bucket
-        # by searchsorted over table is O(N log); instead scatter bucket
-        # starts and forward-cummax.
-        iota = lax.broadcasted_iota(jnp.int32, (N,), 0)
-        kiota = lax.broadcasted_iota(jnp.int32, (size,), 0)
-        first = (
-            jnp.full((N + 1,), -1, jnp.int32)
-            .at[jnp.clip(table[:-1], 0, N)].max(kiota, mode='drop')[:N]
-        )
-        bucket_of = lax.cummax(jnp.maximum(first, 0))
-        aid = jnp.take(hot_id, bucket_of)
-        vmin_s = jnp.take(vmin_b, jnp.clip(aid, 0, h_pad - 1))
-        shift_s = jnp.take(shift_b, jnp.clip(aid, 0, h_pad - 1))
-        q = jnp.clip(
-            lax.shift_right_arithmetic(limb0 - vmin_s, shift_s), 0, Q - 1
-        )
-        valid = jnp.logical_and(aid >= 0, iota < n)
-        key = jnp.where(valid, jnp.clip(aid, 0, h_pad - 1) * Q + q,
-                        h_pad * Q)
-        firstq = (
-            jnp.full((h_pad * Q + 1,), N, jnp.int32)
-            .at[key].min(iota, mode='drop')[: h_pad * Q]
-            .reshape(h_pad, Q)
-        )
-        # complete: B[q] = min over q' >= q, seeded from hi at the right.
-        b_rows = lax.cummin(
-            jnp.concatenate([firstq, hi_b[:, None]], axis=1),
-            axis=1, reverse=True,
-        )
-        aux = jnp.concatenate(
-            [vmin_b[:, None], shift_b[:, None], b_rows], axis=1
-        )
-        return hot_id, aux.reshape(-1)
-
-    return jax.jit(f)
-
 
 # ---------------------------------------------------------------------------
 # Rank-packed limbs — small-alphabet corpora (the common case)
@@ -1384,7 +1263,6 @@ def probe_bounds_phased(text, n, sa, table, limbs_flat, rank, present,
                         deep: bool = False,
                         bits: typing.Optional[int] = None,
                         count_iters: bool = False,
-                        hot_id=None, aux=None,
                         uniform_long: bool = False):
     """(lower, count) for a query batch via the phased packed-limb search.
 
@@ -1458,43 +1336,6 @@ def probe_bounds_phased(text, n, sa, table, limbs_flat, rank, present,
     else:
         lo0 = jnp.take(table, bucket + bump.astype(jnp.int32), axis=0)
         hi0 = jnp.take(table, bucket + 1, axis=0)
-    if hot_id is not None and pair_seed:
-        # Adaptive-shift aux: quantize each lane's limb-0 target into its
-        # hot bucket's value grid and jump to the matching boundary pair
-        # (see build_aux_host).  The lane's limb-0 target is exact for its
-        # own bound semantics (lower pads -inf digits, upper +inf), and
-        # B[q] <= bound <= B[q+1] holds by the grid construction, so the
-        # refined range always contains the answer.  Five extra gathers
-        # per lane, once.
-        aid = jnp.take(
-            hot_id, jnp.clip(bucket_p, 0, hot_id.shape[0] - 1), axis=0
-        )
-        a0 = jnp.clip(aid, 0, (aux.shape[0] // AUX_STRIDE) - 1) * AUX_STRIDE
-        vmin = jnp.take(aux, a0, axis=0)
-        shift = jnp.take(aux, a0 + 1, axis=0)
-        # The pair's limb-0 targets differ only in PAD digits; the LOWER
-        # target (-inf pads) quantizes to a cell at or below the upper's,
-        # and both bounds live in the same bucket, so seeding both lanes
-        # from the UNION of the two cells stays containing.  Cheaper: use
-        # the lower target's cell start and the upper target's cell end.
-        t_lo = tgt[:B, 0]
-        t_up = tgt[B:, 0]
-        q_lo = jnp.clip(
-            lax.shift_right_arithmetic(t_lo - vmin, shift),
-            0, (1 << _AUX_QBITS) - 1,
-        )
-        q_up = jnp.clip(
-            lax.shift_right_arithmetic(t_up - vmin, shift),
-            0, (1 << _AUX_QBITS) - 1,
-        )
-        blo = jnp.take(aux, a0 + 2 + q_lo, axis=0)
-        bhi = jnp.take(aux, a0 + 2 + q_up + 1, axis=0)
-        use = jnp.logical_and(aid >= 0, lengths > depth)
-        blo2 = jnp.concatenate([blo, blo])
-        bhi2 = jnp.concatenate([bhi, bhi])
-        use2 = jnp.concatenate([use, use])
-        lo0 = jnp.where(use2, blo2, lo0)
-        hi0 = jnp.where(use2, bhi2, hi0)
     Nk = limbs_flat.shape[0]
     Ns = Nk // max(num_limbs, 1)
     kcol = lax.broadcasted_iota(jnp.int32, (2 * B, num_limbs), 1)
@@ -1637,29 +1478,11 @@ def probe_bounds_phased(text, n, sa, table, limbs_flat, rank, present,
 @functools.lru_cache(maxsize=None)
 def phased_batch_jit(deep: bool, num_limbs: int,
                      bits: 'typing.Optional[int]' = None,
-                     has_aux: bool = False,
                      uniform_long: bool = False):
     """Jitted chunk-vmapped phased probe — one compiled program per
-    (deep?, num_limbs, bits, has_aux, operand shapes), independent of
-    corpus statistics.  rank/present are shared across chunks (union
-    alphabet); with ``has_aux`` the per-row hot-bucket tables ride after
-    the limbs."""
-
-    if has_aux:
-        def f(text, n, sa, table, limbs, hot_id, aux, rank, present,
-              patterns, lengths):
-            return probe_bounds_phased(
-                text, n, sa, table, limbs, rank, present, patterns,
-                lengths, num_limbs, deep, bits, hot_id=hot_id, aux=aux,
-                uniform_long=uniform_long,
-            )
-
-        return jax.jit(
-            jax.vmap(
-                f,
-                in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, None),
-            )
-        )
+    (deep?, num_limbs, bits, operand shapes), independent of corpus
+    statistics.  rank/present are shared across chunks (union
+    alphabet)."""
 
     def f(text, n, sa, table, limbs, rank, present, patterns, lengths):
         return probe_bounds_phased(
@@ -1697,16 +1520,15 @@ def _depth_of(table_len: int) -> int:
     return table_params(table_len)[1]
 
 
-def _class_exec_key(num_limbs, bits, deep, C, n_pad, table_len, h_pad, Bk,
+def _class_exec_key(num_limbs, bits, deep, C, n_pad, table_len, Bk,
                     width):
-    return (num_limbs, bits, deep, C, n_pad, table_len, h_pad, Bk, width)
+    return (num_limbs, bits, deep, C, n_pad, table_len, Bk, width)
 
 
 def phased_class_exec(num_limbs: int, bits, deep: bool, C: int, n_pad: int,
-                      table_len: int, h_pad: int, Bk: int, width: int):
-    """Compiled executable for one phase-class sub-probe shape (cached).
-    ``h_pad`` > 0 adds the hot-bucket aux operands (hot_id, aux blocks)."""
-    key = _class_exec_key(num_limbs, bits, deep, C, n_pad, table_len, h_pad,
+                      table_len: int, Bk: int, width: int):
+    """Compiled executable for one phase-class sub-probe shape (cached)."""
+    key = _class_exec_key(num_limbs, bits, deep, C, n_pad, table_len,
                           Bk, width)
     exe = _EXEC_CACHE.get(key)
     if exe is not None:
@@ -1719,20 +1541,13 @@ def phased_class_exec(num_limbs: int, bits, deep: bool, C: int, n_pad: int,
         s((C, n_pad), jnp.int32),          # sa
         s((C, table_len), jnp.int32),      # table
         s((C, n_pad * num_limbs), jnp.int32),  # limbs
-    )
-    if h_pad > 0:
-        args += (
-            s((C, table_len - 1), jnp.int32),          # hot_id
-            s((C, h_pad * AUX_STRIDE), jnp.int32),     # aux blocks
-        )
-    args += (
         s((256,), jnp.int32),              # rank
         s((256,), jnp.int32),              # present
         s((Bk, width), jnp.uint8),         # patterns
         s((Bk,), jnp.int32),               # lengths
     )
     lowered = phased_batch_jit(
-        deep, num_limbs, bits, h_pad > 0, uniform_long=width > _depth_of(table_len)
+        deep, num_limbs, bits, uniform_long=width > _depth_of(table_len)
     ).lower(*args)
     compiled = lowered.compile()
     with _EXEC_LOCK:
@@ -1760,8 +1575,10 @@ def class_spec(lengths: np.ndarray, depth: int, limb_bytes: int,
     """Canonical per-class (Bk, width, deep) spec and member indices for a
     batch's length distribution: class k = ceil((L - depth) / limb_bytes)
     limb phases, one extra class for patterns past the packed coverage.
-    Class sizes pad to a coarse grid (pow2 up to 1024, then multiples of
-    1024): bounded program count, at most 2x lane waste."""
+    Class sizes pad to a grid (pow2 up to 1024, then multiples of 256):
+    bounded program count with small lane waste — probe cost is
+    lane-proportional (~13 ns/lane/step measured), and the former
+    1024-grid padded the canonical 10k bench batch by 23%."""
     lengths = np.asarray(lengths)
     classes = np.clip(
         -(-(lengths - depth) // max(limb_bytes, 1)), 0, num_limbs
@@ -1777,7 +1594,7 @@ def class_spec(lengths: np.ndarray, depth: int, limb_bytes: int,
         if idx.size <= 1024:
             Bk = max(8, 1 << int(np.ceil(np.log2(idx.size))))
         else:
-            Bk = -(-idx.size // 1024) * 1024
+            Bk = -(-idx.size // 256) * 256
         out.append((int(Bk), int(width), bool(width > cover), idx))
     return out
 

@@ -22,7 +22,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..ops.search import probe_bounds
+from ..ops.search import probe_bounds_loop
 from ..ops.suffix_array import _doubling_kernel
 from .mesh import CHUNK_AXIS
 
@@ -43,7 +43,11 @@ def _build_one(text_row: jnp.ndarray, n_row: jnp.ndarray) -> jnp.ndarray:
 
 
 build_chunks = jax.vmap(_build_one)  # [C, N_pad], [C] -> [C, N_pad]
-_probe_chunks = jax.vmap(probe_bounds, in_axes=(0, 0, 0, None, None))
+# Loop-form probe (production compilation shape: one small while_loop
+# program per geometry instead of a log2(N)-step unrolled binary search —
+# the unrolled form is compile-prohibitive at real chunk sizes through a
+# remote tunnel; see ops/search.py:probe_bounds_loop).
+_probe_chunks = jax.vmap(probe_bounds_loop, in_axes=(0, 0, 0, None, None))
 
 
 def make_sharded_build(mesh):

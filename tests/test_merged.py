@@ -201,33 +201,6 @@ def test_native_probe_batch_matches_python_oracle():
         assert (lo[i], cnt[i]) == (wlo, wcnt), p
 
 
-def test_deferred_aux_build_and_probe_parity(monkeypatch):
-    """Single-device derive defers the hot-bucket aux tables: probes answer
-    identically before build_aux() (aux-free executables) and after (aux
-    ladder) — models/index.py build_aux."""
-    monkeypatch.setenv('TPUSS_MERGE', '1')
-    monkeypatch.setenv('TPUSS_MERGE_CAP', '4096')
-    # Low threshold so the tiny corpus actually has hot buckets.
-    monkeypatch.setattr(search_ops, 'AUX_TH', 4)
-    chunks = _mk_chunks([_body(40, s) for s in range(4)])
-    idx = DeviceIndex(chunks, mode='derive')
-    if idx.kind != 'ranked' or idx.h_pad <= 0:
-        pytest.skip('geometry has no aux eligibility')
-    assert idx.aux is None  # deferred
-    pats = [WORDS[0], WORDS[3], WORDS[5][:2], b'zz', WORDS[1] + b' ']
-    packed, lens = pack_patterns(pats)
-    lo0, cnt0 = idx.probe(packed, lens)
-    idx.build_aux()
-    assert idx.aux is not None
-    lo1, cnt1 = idx.probe(packed, lens)
-    np.testing.assert_array_equal(cnt0, cnt1)
-    np.testing.assert_array_equal(lo0, lo1)
-    # idempotent
-    aux_ref = idx.aux
-    idx.build_aux()
-    assert idx.aux is aux_ref
-
-
 def test_table_from_pack_matches_raw_table():
     """derive_table_from_pack_jit (one gather from the packed rank stream)
     must equal derive_table_raw_jit (re-derived digit stream) — same seed

@@ -341,71 +341,3 @@ def test_phased_empty_chunk():
     assert not np.asarray(cnt).any()
 
 
-def test_hot_bucket_aux_parity(monkeypatch):
-    """With a tiny threshold every bucket is hot: aux-refined seeding must
-    produce identical bounds to the plain table path, across kinds/modes."""
-    import pysubstringsearch_tpu.ops.search as S
-    from pysubstringsearch_tpu.container import Chunk
-    from pysubstringsearch_tpu.models.index import DeviceIndex
-    from pysubstringsearch_tpu.ops.suffix_array import suffix_array_numpy
-
-    rng = np.random.default_rng(99)
-    # Tiny alphabet -> wide, skewed buckets (the aux's reason to exist).
-    body = bytes(rng.choice([97, 97, 97, 98, 99, 10], size=9000).astype(np.uint8))
-    if not body.endswith(b'\n'):
-        body += b'\n'
-    data = np.frombuffer(body, np.uint8)
-    chunks = [Chunk(data=data, suffix_array=suffix_array_numpy(data))]
-    pats = [b'aa', b'aab', b'abc', b'aaaaaaa', b'c', b'', b'aacb', b'a' * 30]
-    packed, lengths = S.pack_patterns(pats)
-
-    results = {}
-    for th in (0, 2):
-        monkeypatch.setattr(S, 'AUX_TH', th)
-        for mode in ('upload', 'derive'):
-            idx = DeviceIndex(chunks, mode=mode)
-            assert (idx.h_pad > 0) == (th > 0), (th, mode)
-            results[(th, mode)] = idx.probe(packed, lengths)
-    base_lo, base_cnt = results[(0, 'upload')]
-    for k, (lo, cnt) in results.items():
-        assert np.array_equal(cnt, base_cnt), k
-        assert np.array_equal(lo, base_lo), k
-
-
-def test_hot_bucket_aux_host_device_twins(monkeypatch):
-    import pysubstringsearch_tpu.ops.search as S
-    from pysubstringsearch_tpu.ops.suffix_array import suffix_array_numpy
-    import jax.numpy as jnp
-
-    rng = np.random.default_rng(7)
-    data = rng.choice(
-        np.frombuffer(b'abbbbccd\n', np.uint8), size=4000
-    ).astype(np.uint8)
-    sa = suffix_array_numpy(data)
-    pres = np.bincount(data, minlength=256)[:256] > 0
-    rank, sigma = S.alphabet_rank(pres)
-    base, depth = S.pick_table_params(sigma, data.size)
-    bits = S.ranked_bits(sigma)
-    table = S.build_seed_table_host(data, sa, rank, base, depth)
-    limb0 = S.build_ranked_limbs_host(data, sa, rank, 1, depth, bits)[0]
-    h_pad = 64
-    hot = S.build_hot_id_host(table, 2, h_pad)
-    aux = S.build_aux_host(limb0, table, hot, h_pad)
-    # Pad like production: the packed stream's roll wrap-around and the
-    # past-end gather clamp are only correct behind a PAD_MARGIN of zeros.
-    from pysubstringsearch_tpu.ops.suffix_array import _pad_len
-
-    n = data.size
-    N = _pad_len(n + S.PAD_MARGIN)
-    tpad = np.zeros(N, np.uint8)
-    tpad[:n] = data
-    sapad = np.zeros(N, np.int32)
-    sapad[:n] = sa
-    packed = S.ranked_pack_jit(bits)(
-        jnp.asarray(tpad), jnp.int32(n), jnp.asarray(rank)
-    )
-    hot_d, aux_d = S.derive_hot_aux_jit(2, h_pad, depth, bits)(
-        jnp.asarray(table), packed, jnp.asarray(sapad), jnp.int32(n)
-    )
-    assert np.array_equal(np.asarray(hot_d), hot)
-    assert np.array_equal(np.asarray(aux_d), aux)
