@@ -45,7 +45,7 @@ def main():
     base = plan._base
     log(f'geometry: rows {plan.num_chunks} x pad {n_pad >> 20} MiB, '
         f'base {base}^{depth}, bits {bits}, limbs {plan.num_limbs}, '
-        f'h_pad {plan.h_pad}, kind {plan.kind}')
+        f'kind {plan.kind}')
 
     rank_d = jnp.asarray(plan._rank_host)
     stage = {}
@@ -72,9 +72,6 @@ def main():
     derive_sa = search_ops.derive_sa
     pack0 = search_ops.ranked_pack_jit(bits)
     table_into = search_ops.derive_table_raw_jit(base, depth)
-    hot_aux = search_ops.derive_hot_aux_jit(
-        search_ops.AUX_TH, plan.h_pad, depth, bits
-    )
     plane = search_ops.derive_limb_ranked_jit(depth, bits)
     tlen = base ** depth + 1
     C = plan.num_chunks
@@ -105,9 +102,6 @@ def main():
     for i, d in enumerate(plan.row_data):
         n_i = jnp.int32(d.size)
         packed0 = timed('pack0', lambda: pack0(texts[i], n_i, rank_d))
-        if plan.h_pad > 0:
-            timed('hot-aux', lambda: hot_aux(
-                tables[i], packed0, sas[i], n_i))
         del packed0
     limbs = jnp.zeros((C, n_pad * plan.num_limbs), jnp.int32)
     for i, d in enumerate(plan.row_data):

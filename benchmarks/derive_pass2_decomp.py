@@ -54,14 +54,10 @@ def main():
     ck_row_i32 = cksum((n_pad,), jnp.int32)
     ck_tab = cksum((tlen,), jnp.int32)
     ck_hot = cksum((tlen - 1,), jnp.int32)
-    ck_aux = cksum((plan.h_pad * search_ops.AUX_STRIDE,), jnp.int32)
 
     rank_d = jnp.asarray(plan._rank_host)
     pack0 = search_ops.ranked_pack_jit(bits)
     table_into = search_ops.derive_table_raw_jit(base, depth)
-    hot_aux = search_ops.derive_hot_aux_jit(
-        search_ops.AUX_TH, plan.h_pad, depth, bits
-    )
     tables = jnp.zeros((plan.num_chunks, tlen), jnp.int32)
 
     for i, d in enumerate(plan.row_data[:1]):  # one row tells the story
@@ -86,9 +82,8 @@ def main():
         int(ck_row_i32(packed0))
         log(f'  pack0        +{time.time() - t0:7.2f}s')
         t0 = time.time()
-        h_i, a_i = hot_aux(tables[i], packed0, sa, n_i)
+        # (hot-bucket aux removed in round 5)
         int(ck_hot(h_i))
-        int(ck_aux(a_i))
         log(f'  hot-aux      +{time.time() - t0:7.2f}s')
         plane = search_ops.derive_limb_ranked_jit(depth, bits)
         limbs = jnp.zeros((plan.num_chunks, n_pad * plan.num_limbs),

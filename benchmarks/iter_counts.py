@@ -79,7 +79,7 @@ def main():
         t1 = sorted(t1s)[2]; tk = sorted(tks)[2]
         return max((tk - t1) / (K - 1), 1e-9)
 
-    aux_ops = (idx.hot_id, idx.aux) if idx.h_pad > 0 else ()
+    aux_ops = ()
     for (Bk, width, deep), (members, sub, sub_len) in zip(spec, flat):
         t0 = time.time()
         lo, cnt, iters = diag(deep)(
@@ -90,7 +90,7 @@ def main():
         print(f'class Bk={Bk} width={width} deep={deep} real={members.size}: '
               f'NO-AUX limb-loop iters per row = {iters.tolist()} '
               f'(compile+run {time.time()-t0:.1f}s)', flush=True)
-        if idx.h_pad > 0:
+        if False:  # hot-bucket aux removed in round 5
             t0 = time.time()
             lo2, cnt2, iters2 = diag_aux(deep)(
                 idx.text, idx.lengths, idx.sa, idx.tables, idx.limbs,
@@ -102,10 +102,10 @@ def main():
             assert np.array_equal(np.asarray(cnt), np.asarray(cnt2))
         # per-class dispatch slope with the PRODUCTION executable
         key = (idx.num_limbs, idx._bits, deep, idx.num_chunks, idx.n_pad,
-               idx._base ** idx._depth + 1, idx.h_pad, Bk, width)
+               idx._base ** idx._depth + 1, Bk, width)
         exe = S.phased_class_exec(*key)
         ops = (idx.text, idx.lengths, idx.sa, idx.tables, idx.limbs)
-        if idx.h_pad > 0:
+        if False:  # hot-bucket aux removed in round 5
             ops += (idx.hot_id, idx.aux)
         s = slope(lambda: exe(*ops, idx.rank, idx.present, sub, sub_len),
                   lambda o: int(o[1][0, 0]))

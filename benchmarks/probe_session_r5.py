@@ -37,10 +37,9 @@ t0 = time.time()
 r.wait_device_ready()
 idx = r._index
 log(f'ready {time.time()-t0:.1f}s; rows {idx.num_chunks} x {idx.n_pad>>20} MiB, '
-    f'{idx.num_limbs} {idx.kind} limbs, aux={idx.aux is not None}, '
-    f'h_pad={idx.h_pad}')
+    f'{idx.num_limbs} {idx.kind} limbs')
 out = {'rows': idx.num_chunks, 'n_pad_mib': idx.n_pad >> 20,
-       'num_limbs': idx.num_limbs, 'kind': idx.kind, 'h_pad': int(idx.h_pad)}
+       'num_limbs': idx.num_limbs, 'kind': idx.kind}
 
 def slope(tag, K=8):
     def run_k(k):
@@ -69,19 +68,6 @@ spec = search_ops.class_spec(lengths, idx._depth, idx._limb_bytes,
 log(f'classes: {[(Bk, w, dp) for (Bk, w, dp) in [(s[0], s[1], s[2]) for s in spec]]}')
 flat = idx._flatten_classes(packed, lengths, spec) if hasattr(idx, '_flatten_classes') else None
 out['classes'] = [[int(s[0]), int(s[1]), bool(s[2])] for s in spec]
-
-# Guarded aux attach.
-try:
-    t0 = time.time()
-    idx.build_aux()
-    out['build_aux_s'] = time.time() - t0
-    out['aux_present'] = idx.aux is not None
-    if idx.aux is not None:
-        idx.probe_device_parts(packed, lengths)  # warm aux ladder
-        out['p50_aux_on_ms'] = slope('aux ON ')
-except Exception as exc:  # noqa: BLE001
-    out['aux_error'] = f'{type(exc).__name__}: {exc}'[:300]
-    log('aux attach/probe failed:', out['aux_error'])
 
 with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        'probe_session_r5.json'), 'w') as f:

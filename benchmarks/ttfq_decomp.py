@@ -63,10 +63,6 @@ def main():
         'tables': cksum((C, tlen), jnp.int32),
         'limbs': cksum((C, n_pad * plan.num_limbs), jnp.int32),
     }
-    if plan.h_pad > 0:
-        sums['hot_id'] = cksum((C, tlen - 1), jnp.int32)
-        sums['aux'] = cksum((C, plan.h_pad * search_ops.AUX_STRIDE),
-                            jnp.int32)
     log(f'checksum programs ready: {time.time() - t0:.1f}s')
 
     # Bench batch + AOT probe warm on a thread (mirrors bench.py).
