@@ -67,7 +67,7 @@ def make_corpus_file(path: str, mb: int, seed: int = 0):
         written = 0
         block_words = int((256 << 20) / float(seg_lens.mean()))
         while written < target:
-            idx = rng.integers(0, nwords, size=block_words)
+            idx = rng.integers(0, len(words), size=block_words)
             ls = seg_lens[idx]
             tot = int(ls.sum())
             firsts = np.cumsum(ls) - ls
