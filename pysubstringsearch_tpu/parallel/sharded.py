@@ -17,7 +17,6 @@ All functions take the stacked chunk-major layout of models/index.py:
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
