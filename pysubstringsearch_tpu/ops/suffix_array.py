@@ -260,7 +260,12 @@ _doubling_whole_jit = jax.jit(_doubling_kernel, donate_argnums=(0,))
 # by the init round (slot = N-1-pos, singleton groups), so padding never
 # occupies buffer capacity.
 
-_SEG_DIV = 4  # buffer = N // _SEG_DIV
+# Tie-buffer sizing: round-5 chip measurement on the 272 MiB bench rows:
+# the INIT leaves 33.7% of slots tied (> any practical buffer, so round 1
+# always takes the full-size branch), while round 2 is left with ~0.02-0.5%
+# — a smaller buffer halves the steady rounds' sort volume at no risk
+# (overflow still falls back to the full branch via the loop's cond).
+_SEG_DIV = 8  # buffer = N // _SEG_DIV
 
 
 def _init_round_anchored(data_padded: jnp.ndarray, n: jnp.ndarray):
