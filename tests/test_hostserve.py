@@ -143,3 +143,43 @@ def test_matches_reader_on_random_corpus(tmp_path):
     res = hs.search(pats)
     for p, got in zip(pats, res):
         assert sorted(got) == sorted(r.search(p.decode()))
+
+
+def test_materialize_dedup_fast_paths():
+    """Round-5 fastext fast paths: the single-group route skips the dedup
+    hash (object sharing is identity-only — result values must be
+    unchanged), and the ASCII direct-copy decode must fall back to the
+    full UTF-8 decoder for non-ASCII spans (native/fastext.c
+    decode_line)."""
+    from pysubstringsearch_tpu.ops import native as native_ops
+
+    fx = native_ops.fastext()
+    if fx is None:
+        import pytest
+
+        pytest.skip('native fastext unavailable')
+    text = 'héllo wörld\nplain ascii line\nمرحبا يا عالم\nx' + 'y' * 40
+    buf = text.encode('utf-8')
+    lines = []
+    off = 0
+    for part in text.split('\n'):
+        b = part.encode('utf-8')
+        lines.append((off, off + len(b)))
+        off += len(b) + 1
+    starts = np.array([s for s, _ in lines] * 2, dtype=np.int64)
+    ends = np.array([e for _, e in lines] * 2, dtype=np.int64)
+    # Single group (G == 1): hash skipped entirely.
+    g1 = fx.materialize_dedup(
+        buf, starts, ends, np.array([0], np.int64),
+        np.array([len(starts)], np.int64), np.array([7], np.int64),
+    )
+    assert list(g1) == [7]
+    assert g1[7] == text.split('\n') * 2
+    # Two groups sharing lines: values identical, repeats share objects.
+    half = len(starts) // 2
+    g2 = fx.materialize_dedup(
+        buf, starts, ends, np.array([0, half], np.int64),
+        np.array([half, len(starts)], np.int64), np.array([0, 1], np.int64),
+    )
+    assert g2[0] == g2[1] == text.split('\n')
+    assert all(a is b for a, b in zip(g2[0], g2[1]))  # hash-shared objects
