@@ -1567,7 +1567,13 @@ i32 tpuss_probe_multi(i32 nchunks, const uint8_t* const* datas, const i32* ns,
   for (i32 b = 0; b < B; ++b)
     if (lens[b] > stride || lens[b] < 0) return -2;
   int64_t units = static_cast<int64_t>(nchunks) * B;
-  run_units(units, nthreads, 256, [&](int64_t u) {
+  // Coarse fixed blocks: a round-5 A/B tried fine blocks so a single
+  // query's nchunks cells would split across cores, and measured the
+  // OPPOSITE (miss p50 46 -> 97 us at 63 chunks): thread spawn + wakeup
+  // dwarfs the ~60 us of probe work, so small calls stay inline
+  // (run_units runs units <= block on the calling thread).
+  int64_t block = 256;
+  run_units(units, nthreads, block, [&](int64_t u) {
     i32 c = static_cast<i32>(u / B);
     i32 b = static_cast<i32>(u % B);
     probe_one(datas[c], ns[c], sas[c], pats + static_cast<size_t>(b) * stride,
