@@ -241,3 +241,35 @@ class TestSearchMultiple:
         assert collections.Counter(got) == collections.Counter(
             ['alpha', 'alphabet'] * 3 + ['beta']
         )
+
+
+class TestLongPatternHostRoute:
+    def test_pattern_beyond_device_window_uses_host_path(self, tmp_path):
+        """A pattern longer than the device probe window (PAD_MARGIN) must
+        route through the exact host path (api.Reader._search_host — now a
+        delegation to the unified per-chunk pipeline) and return the same
+        multiset as ground truth, while the REST of a mixed batch still
+        answers correctly (an oversized straggler must not poison the
+        batch)."""
+        import pysubstringsearch_tpu as pss
+        from pysubstringsearch_tpu.ops.search import PAD_MARGIN
+
+        long_body = 'ab' * (PAD_MARGIN // 2 + 40)
+        lines = [f'{long_body} tail{i}' for i in range(3)]
+        lines += ['short one', 'short two ab', long_body[: PAD_MARGIN + 10]]
+        path = str(tmp_path / 'long.idx')
+        w = pss.Writer(path, max_chunk_len=4096)  # multi-chunk
+        for ln in lines:
+            w.add_entry(ln)
+        w.finalize()
+        r = pss.Reader(path)
+        long_pat = long_body[: PAD_MARGIN + 8]
+        expected = sorted(ln for ln in lines if long_pat in ln)
+        assert sorted(r.search(long_pat)) == expected
+        # Mixed batch: long + short patterns in one search_multiple call.
+        res = r.search_multiple([long_pat, 'short', 'zzz-none'])
+        exp_multi = sorted(
+            [ln for ln in lines if long_pat in ln]
+            + [ln for ln in lines if 'short' in ln]
+        )
+        assert sorted(res) == exp_multi
