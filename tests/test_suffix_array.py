@@ -3,6 +3,8 @@ native C++ SA-IS vs a brute-force oracle. The SA of a string is unique, so
 all backends must agree byte-for-byte."""
 
 import numpy as np
+import os
+
 import pytest
 
 from pysubstringsearch_tpu.ops import native
@@ -214,3 +216,42 @@ def test_derive_sa_ranked_wrapper_matches_plain():
     np.testing.assert_array_equal(
         np.asarray(sa_plain)[: data.size], np.asarray(sa_ranked)[: data.size]
     )
+
+
+@pytest.mark.skipif(
+    os.environ.get('TPUSS_BIG_TESTS') != '1',
+    reason='~3 min / 10 GB RAM; set TPUSS_BIG_TESTS=1 (validated in round 5)',
+)
+def test_native_sa_beyond_mark_bit_budget():
+    """n just past 2^30 exercises the UNFUSED level-0 path (the partial-sort
+    group marks live in bit 30 of each entry, so larger inputs take the
+    classical compact+memcmp naming).  Repetitive input stresses deep
+    recursion; validated by permutation + sampled adjacent orderings (the
+    oracle is infeasible at this size)."""
+    import ctypes
+
+    from pysubstringsearch_tpu.ops import native as native_ops
+
+    lib = native_ops._load()
+    if lib is None:
+        pytest.skip('native kernel unavailable')
+    rng = np.random.default_rng(3)
+    n = (1 << 30) + 12345
+    words = [bytes(rng.integers(97, 120, size=int(l), dtype=np.uint8))
+             for l in rng.integers(3, 10, size=3000)]
+    blob = b' '.join(words) + b'\n'
+    d = np.frombuffer(blob * (n // len(blob) + 1), dtype=np.uint8)[:n].copy()
+    sa = np.empty(n, dtype=np.int32)
+    rc = lib.tpuss_build_sa_u8(
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int32(n),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    assert rc == 0
+    seen = np.zeros(n, dtype=bool)
+    seen[sa] = True
+    assert seen.all()
+    b = d.tobytes()
+    for i in rng.integers(1, n, size=2000):
+        a1, a2 = int(sa[i - 1]), int(sa[i])
+        assert b[a1:a1 + 96] <= b[a2:a2 + 96]
